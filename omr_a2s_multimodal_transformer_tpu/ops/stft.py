@@ -148,8 +148,10 @@ def log_spectrogram(
     frames = _frame_centered(wave.astype(jnp.float32), N_FFT, HOP_LENGTH)
     frames = frames * jnp.asarray(hann_window())[None, None, :]
     c, s = _dft_matrices()
-    re = jnp.einsum("btn,nk->btk", frames, jnp.asarray(c), preferred_element_type=jnp.float32)
-    im = jnp.einsum("btn,nk->btk", frames, jnp.asarray(s), preferred_element_type=jnp.float32)
+    # HIGHEST precision: the default (fast bf16-pass) matmul loses ~1e-3
+    # relative accuracy, which blows up near the -80 dB floor of the log scale.
+    re = jnp.einsum("btn,nk->btk", frames, jnp.asarray(c), precision=jax.lax.Precision.HIGHEST)
+    im = jnp.einsum("btn,nk->btk", frames, jnp.asarray(s), precision=jax.lax.Precision.HIGHEST)
     mag = jnp.sqrt(re * re + im * im)  # [B, T, bins]
 
     t = mag.shape[1]
