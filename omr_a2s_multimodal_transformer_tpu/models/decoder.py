@@ -1,0 +1,231 @@
+"""Autoregressive transformer decoder (flax.linen) with KV-cached decoding.
+
+Architecture parity with the reference decoder
+(``/root/reference/src/transformer/decoder.py:35-148``): token embedding
+(256, pad row frozen at zero), fixed 1D sinusoidal PE + dropout, 8 post-LN
+torch-style decoder layers (4 heads, d_model 256, ff 256, ReLU,
+dropout 0.1), and a pointwise classification layer.
+
+TPU-first differences:
+- Greedy/beam decoding uses an incremental step with per-layer KV caches
+  (``init_cache``/``prefill``/``step``) inside ``lax.while_loop`` — the
+  reference re-runs the full decoder on the growing prefix every step
+  (O(L^2) full forwards, model.py:182-193).
+- Masks are closed-form (ops/masks.py). The windowed causal mask
+  (``attn_window``) is applied identically in full and cached modes.
+- Key-padding semantics default to proper -inf masking;
+  ``torch_float_parity=True`` reproduces the reference's accidental
+  float-mask (+1.0 additive) behavior for bit-parity experiments.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from omr_a2s_multimodal_transformer_tpu.models.positional import positional_encoding_1d
+from omr_a2s_multimodal_transformer_tpu.ops import masks as M
+from omr_a2s_multimodal_transformer_tpu.ops.attention import attend, merge_heads, split_heads
+
+
+class MultiHeadProj(nn.Module):
+    """Q/K/V/out projection bundle (bias=True, torch MHA layout)."""
+
+    d_model: int
+    n_heads: int
+
+    def setup(self):
+        self.q_proj = nn.Dense(self.d_model, name="q_proj")
+        self.k_proj = nn.Dense(self.d_model, name="k_proj")
+        self.v_proj = nn.Dense(self.d_model, name="v_proj")
+        self.out_proj = nn.Dense(self.d_model, name="out_proj")
+
+    def qkv(self, q_in, kv_in):
+        q = split_heads(self.q_proj(q_in), self.n_heads)
+        k = split_heads(self.k_proj(kv_in), self.n_heads)
+        v = split_heads(self.v_proj(kv_in), self.n_heads)
+        return q, k, v
+
+    def __call__(self, q_in, kv_in, mask, dropout_rate=0.0, dropout_rng=None):
+        q, k, v = self.qkv(q_in, kv_in)
+        out = attend(q, k, v, mask, dropout_rate, dropout_rng)
+        return self.out_proj(merge_heads(out))
+
+
+class DecoderLayer(nn.Module):
+    """Post-LN decoder layer: self-attn -> cross-attn -> FF (torch
+    TransformerDecoderLayer with norm_first=False, ReLU)."""
+
+    d_model: int = 256
+    n_heads: int = 4
+    ff_dim: int = 256
+    dropout: float = 0.1
+
+    def setup(self):
+        self.self_attn = MultiHeadProj(self.d_model, self.n_heads, name="self_attn")
+        self.cross_attn = MultiHeadProj(self.d_model, self.n_heads, name="cross_attn")
+        self.linear1 = nn.Dense(self.ff_dim, name="linear1")
+        self.linear2 = nn.Dense(self.d_model, name="linear2")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
+
+    def _drop(self, x, deterministic):
+        if deterministic or self.dropout == 0.0:
+            return x
+        keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - self.dropout, x.shape)
+        return jnp.where(keep, x / (1.0 - self.dropout), 0.0)
+
+    def _attn_rng(self, deterministic):
+        return None if (deterministic or self.dropout == 0.0) else self.make_rng("dropout")
+
+    def __call__(self, x, memory, self_mask, mem_mask, deterministic: bool = True):
+        h = self.self_attn(x, x, self_mask, self.dropout, self._attn_rng(deterministic))
+        x = self.norm1(x + self._drop(h, deterministic))
+        h = self.cross_attn(x, memory, mem_mask, self.dropout, self._attn_rng(deterministic))
+        x = self.norm2(x + self._drop(h, deterministic))
+        h = self.linear2(self._drop(nn.relu(self.linear1(x)), deterministic))
+        x = self.norm3(x + self._drop(h, deterministic))
+        return x
+
+    def cross_kv(self, memory):
+        """Precompute cross-attention K/V once per sequence (decode path)."""
+        k = split_heads(self.cross_attn.k_proj(memory), self.n_heads)
+        v = split_heads(self.cross_attn.v_proj(memory), self.n_heads)
+        return k, v
+
+    def step(self, x, pos, cache_k, cache_v, cross_k, cross_v, self_mask, mem_mask):
+        """One decode step. x: [B, 1, D]; caches: [B, Lmax, H, Dh].
+
+        self_mask: [B?, 1, 1, Lmax] additive over cached positions.
+        Returns (y [B,1,D], new_cache_k, new_cache_v).
+        """
+        q, k_new, v_new = self.self_attn.qkv(x, x)  # [B,1,H,Dh]
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new.astype(cache_k.dtype), pos, axis=1)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new.astype(cache_v.dtype), pos, axis=1)
+        h = attend(q, cache_k, cache_v, self_mask)
+        h = self.self_attn.out_proj(merge_heads(h))
+        x = self.norm1(x + h)
+        q2 = split_heads(self.cross_attn.q_proj(x), self.n_heads)
+        h = attend(q2, cross_k, cross_v, mem_mask)
+        h = self.cross_attn.out_proj(merge_heads(h))
+        x = self.norm2(x + h)
+        x = self.norm3(x + self.linear2(nn.relu(self.linear1(x))))
+        return x, cache_k, cache_v
+
+
+class KernDecoder(nn.Module):
+    """Embedding + PE + N decoder layers + classifier."""
+
+    vocab_size: int
+    max_seq_len: int
+    d_model: int = 256
+    n_heads: int = 4
+    ff_dim: int = 256
+    n_layers: int = 8
+    dropout: float = 0.1
+    attn_window: int = -1  # <=0: plain causal
+
+    def setup(self):
+        self.embedding = self.param(
+            "embedding", nn.initializers.normal(1.0), (self.vocab_size, self.d_model)
+        )
+        self.layers = [
+            DecoderLayer(self.d_model, self.n_heads, self.ff_dim, self.dropout, name=f"layer{i}")
+            for i in range(self.n_layers)
+        ]
+        self.out_layer = nn.Dense(self.vocab_size, name="out_layer")
+
+    def _embed(self, ids: jnp.ndarray) -> jnp.ndarray:
+        # Pad row pinned to zero (torch padding_idx semantics: zero vector,
+        # zero gradient — the overwrite makes autodiff drop row-0 grads).
+        table = self.embedding.at[0].set(0.0)
+        return jnp.take(table, ids, axis=0)
+
+    def _pe(self) -> jnp.ndarray:
+        return jnp.asarray(positional_encoding_1d(self.max_seq_len, self.d_model))
+
+    def _drop(self, x, deterministic):
+        if deterministic or self.dropout == 0.0:
+            return x
+        keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - self.dropout, x.shape)
+        return jnp.where(keep, x / (1.0 - self.dropout), 0.0)
+
+    def __call__(
+        self,
+        tgt_ids: jnp.ndarray,  # [B, L]
+        memory: jnp.ndarray,  # [B, S, D]
+        memory_valid: Optional[jnp.ndarray] = None,  # [B, S] bool
+        deterministic: bool = True,
+        torch_float_parity: bool = False,
+    ) -> jnp.ndarray:
+        """Full-sequence decode (training). Returns logits [B, L, V].
+
+        Mask plumbing mirrors the reference (decoder.py:104-148): the target
+        pad mask is applied only when a memory mask is present (both are
+        disabled together at inference).
+        """
+        b, l = tgt_ids.shape
+        x = self._drop(self._embed(tgt_ids) + self._pe()[None, :l], deterministic)
+
+        self_mask = M.windowed_causal_mask(l, self.attn_window)[None, None]
+        mem_mask = None
+        if memory_valid is not None:
+            tgt_valid = tgt_ids != 0
+            self_mask = self_mask + M.key_padding_additive(tgt_valid, torch_float_parity=torch_float_parity)
+            mem_mask = M.key_padding_additive(memory_valid, torch_float_parity=torch_float_parity)
+
+        for layer in self.layers:
+            x = layer(x, memory, self_mask, mem_mask, deterministic)
+        return self.out_layer(x)
+
+    # ---------------------------------------------------------------- decode
+    def init_cache(self, batch: int, dtype=jnp.float32) -> Dict[str, Any]:
+        dh = self.d_model // self.n_heads
+        shape = (batch, self.max_seq_len, self.n_heads, dh)
+        return {
+            f"layer{i}": {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for i in range(self.n_layers)
+        }
+
+    def prefill(self, memory: jnp.ndarray) -> Dict[str, Any]:
+        """Precompute per-layer cross-attention K/V from the memory."""
+        return {
+            f"layer{i}": dict(zip(("k", "v"), layer.cross_kv(memory)))
+            for i, layer in enumerate(self.layers)
+        }
+
+    def step(
+        self,
+        token_ids: jnp.ndarray,  # [B]
+        pos,  # scalar int32 (current position, 0-based)
+        cache: Dict[str, Any],
+        cross: Dict[str, Any],
+        memory_valid: Optional[jnp.ndarray] = None,  # [B, S] bool
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """One greedy-decode step. Returns (logits [B, V], updated cache)."""
+        b = token_ids.shape[0]
+        x = self._embed(token_ids)[:, None, :] + jax.lax.dynamic_slice_in_dim(self._pe(), pos, 1, axis=0)[None]
+
+        # Self-attention mask over cache positions [0, max_seq_len):
+        # attend to j in [max(0, pos-window), pos].
+        j = jnp.arange(self.max_seq_len)[None, None, None, :]
+        allowed = j <= pos
+        if self.attn_window > 0:
+            allowed &= j >= pos - self.attn_window
+        self_mask = jnp.where(allowed, 0.0, M.NEG_INF)
+
+        mem_mask = None
+        if memory_valid is not None:
+            mem_mask = M.key_valid_attn_mask(memory_valid)
+
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            c = cache[f"layer{i}"]
+            cr = cross[f"layer{i}"]
+            x, ck, cv = layer.step(x, pos, c["k"], c["v"], cr["k"], cr["v"], self_mask, mem_mask)
+            new_cache[f"layer{i}"] = {"k": ck, "v": cv}
+        return self.out_layer(x)[:, 0, :], new_cache

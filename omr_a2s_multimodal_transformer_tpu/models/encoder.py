@@ -1,0 +1,193 @@
+"""Convolutional stem encoder (NHWC, flax.linen).
+
+Architecture parity with the reference encoder
+(``/root/reference/src/transformer/encoder.py:241-291``): 5 ConvBlocks
+(channels 1->16->32->64->128->128, strides (1,1),(2,2),(2,2),(2,2),(2,1))
+followed by 4 depthwise-separable DSCBlocks (128,128,128,256, stride 1) with
+residual adds when shapes match. Net reduction H/16 x W/8, output 256ch.
+
+TPU-first differences from the reference:
+- NHWC layout (torch import transposes OIHW -> HWIO).
+- The reference's Python-`random` stochasticity at forward time (MixDropout
+  coin, per-block dropout position) is driven by explicit PRNG keys under
+  jit, so one compiled program covers all draws.
+- Optional mask-aware instance norm (`masked_norm=True`) removes padding
+  sensitivity in bucketed batches; default False matches the reference
+  (which normalizes over padded pixels too).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from omr_a2s_multimodal_transformer_tpu.ops.norm import instance_norm
+
+HEIGHT_REDUCTION = 16
+WIDTH_REDUCTION = 8
+
+
+def _pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class MixDropout(nn.Module):
+    """Coin-flip between elementwise dropout(p) and channel dropout(p/2)
+    (reference encoder.py:87-104)."""
+
+    dropout_prob: float = 0.4
+    dropout2d_prob: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if deterministic or (self.dropout_prob == 0.0 and self.dropout2d_prob == 0.0):
+            return x
+        rng = self.make_rng("dropout")
+        r_coin, r_elem, r_chan = jax.random.split(rng, 3)
+        use_elem = jax.random.bernoulli(r_coin, 0.5)
+        keep_e = jax.random.bernoulli(r_elem, 1.0 - self.dropout_prob, x.shape)
+        x_elem = jnp.where(keep_e, x / (1.0 - self.dropout_prob), 0.0)
+        # channel dropout: drop whole feature maps per (sample, channel)
+        b, _, _, c = x.shape
+        keep_c = jax.random.bernoulli(r_chan, 1.0 - self.dropout2d_prob, (b, 1, 1, c))
+        x_chan = jnp.where(keep_c, x / (1.0 - self.dropout2d_prob), 0.0)
+        return jnp.where(use_elem, x_elem, x_chan)
+
+
+class DepthSepConv(nn.Module):
+    """Depthwise conv (+ optional activation) then 1x1 pointwise
+    (reference encoder.py:12-84)."""
+
+    out_ch: int
+    kernel: Tuple[int, int] = (3, 3)
+    stride: Tuple[int, int] = (1, 1)
+    activation: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel
+        pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))  # odd kernels only in this stem
+        x = nn.Conv(
+            features=in_ch,
+            kernel_size=self.kernel,
+            strides=self.stride,
+            padding=pad,
+            feature_group_count=in_ch,
+            name="depth_conv",
+        )(x)
+        if self.activation:
+            x = nn.relu(x)
+        x = nn.Conv(features=self.out_ch, kernel_size=(1, 1), name="point_conv")(x)
+        return x
+
+
+def _positioned_dropout(x: jnp.ndarray, site: int, pos: jnp.ndarray, drop: MixDropout, deterministic: bool):
+    """Apply `drop` to x only when the drawn position equals `site`."""
+    if deterministic:
+        return x
+    dropped = drop(x, deterministic=False)
+    return jnp.where(pos == site, dropped, x)
+
+
+class ConvBlock(nn.Module):
+    """3x Conv2d with instance norm and a randomly positioned MixDropout
+    (reference encoder.py:107-181)."""
+
+    out_ch: int
+    stride: Tuple[int, int] = (1, 1)
+    kernel: int = 3
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True, valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        k = self.kernel
+        pad = ((k // 2, k // 2), (k // 2, k // 2))
+        drop = MixDropout(self.dropout, self.dropout / 2)
+        pos = (
+            jax.random.randint(self.make_rng("dropout"), (), 1, 4)
+            if not deterministic
+            else jnp.int32(0)
+        )
+        x = nn.Conv(self.out_ch, (k, k), padding=pad, name="conv1")(x)
+        x = nn.relu(x)
+        x = _positioned_dropout(x, 1, pos, drop, deterministic)
+        x = nn.Conv(self.out_ch, (k, k), padding=pad, name="conv2")(x)
+        x = nn.relu(x)
+        x = _positioned_dropout(x, 2, pos, drop, deterministic)
+        x = instance_norm(x, eps=1e-3, valid=valid)
+        x = nn.Conv(self.out_ch, (3, 3), strides=self.stride, padding=((1, 1), (1, 1)), name="conv3")(x)
+        x = nn.relu(x)
+        x = _positioned_dropout(x, 3, pos, drop, deterministic)
+        return x
+
+
+class DSCBlock(nn.Module):
+    """3x depthwise-separable convs; final conv has no activation
+    (reference encoder.py:184-238)."""
+
+    out_ch: int
+    stride: Tuple[int, int] = (1, 1)
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True, valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        drop = MixDropout(self.dropout, self.dropout / 2)
+        pos = (
+            jax.random.randint(self.make_rng("dropout"), (), 1, 4)
+            if not deterministic
+            else jnp.int32(0)
+        )
+        x = DepthSepConv(self.out_ch, name="conv1")(x)
+        x = nn.relu(x)
+        x = _positioned_dropout(x, 1, pos, drop, deterministic)
+        x = DepthSepConv(self.out_ch, name="conv2")(x)
+        x = nn.relu(x)
+        x = _positioned_dropout(x, 2, pos, drop, deterministic)
+        x = instance_norm(x, eps=1e-3, valid=valid)
+        x = DepthSepConv(self.out_ch, stride=self.stride, name="conv3")(x)
+        x = _positioned_dropout(x, 3, pos, drop, deterministic)
+        return x
+
+
+# (out_ch, stride) per stage — reference encoder.py:253-269.
+CONV_STAGES = ((16, (1, 1)), (32, (2, 2)), (64, (2, 2)), (128, (2, 2)), (128, (2, 1)))
+DSC_STAGES = ((128, (1, 1)), (128, (1, 1)), (128, (1, 1)), (256, (1, 1)))
+OUT_CHANNELS = 256
+
+
+def _shrink_valid(valid: Optional[jnp.ndarray], stride: Tuple[int, int]) -> Optional[jnp.ndarray]:
+    """Track the valid-pixel mask through a strided conv (ceil semantics)."""
+    if valid is None:
+        return None
+    sh, sw = stride
+    if sh == 1 and sw == 1:
+        return valid
+    return valid[:, ::sh, ::sw]
+
+
+class ConvStemEncoder(nn.Module):
+    """Full conv stem: [B, H, W, 1] -> [B, H/16, W/8, 256]."""
+
+    dropout: float = 0.5
+    masked_norm: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        valid: Optional[jnp.ndarray] = None,  # [B, H, W] bool; used when masked_norm
+    ) -> jnp.ndarray:
+        v = valid if self.masked_norm else None
+        for i, (ch, stride) in enumerate(CONV_STAGES):
+            x = ConvBlock(ch, stride, dropout=self.dropout, name=f"block{i}")(x, deterministic, v)
+            v = _shrink_valid(v, stride)
+        for i, (ch, stride) in enumerate(DSC_STAGES):
+            xt = DSCBlock(ch, stride, dropout=self.dropout, name=f"dsc{i}")(x, deterministic, v)
+            x = x + xt if x.shape == xt.shape else xt  # residual when shapes match
+            v = _shrink_valid(v, stride)
+        return x

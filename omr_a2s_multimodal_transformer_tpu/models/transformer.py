@@ -1,0 +1,138 @@
+"""Unimodal image/audio -> kern transformer (flax.linen).
+
+Parity target: reference ``Transformer`` (model.py:54-262) — conv-stem
+encoder, fixed 2D positional encoding + dropout, flatten to a [B, S, 256]
+memory, shared autoregressive decoder. The training-time teacher-forcing
+token corruption lives in ``training/corruption.py`` (vectorized with PRNG
+instead of the reference's Python double loop, model.py:152-160).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from omr_a2s_multimodal_transformer_tpu.models.decoder import KernDecoder
+from omr_a2s_multimodal_transformer_tpu.models.encoder import (
+    HEIGHT_REDUCTION,
+    WIDTH_REDUCTION,
+    ConvStemEncoder,
+    OUT_CHANNELS,
+)
+from omr_a2s_multimodal_transformer_tpu.models.positional import positional_encoding_2d
+from omr_a2s_multimodal_transformer_tpu.ops import masks as M
+
+
+def ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def reduced_grid(max_h: int, max_w: int) -> Tuple[int, int]:
+    return ceil_div(max_h, HEIGHT_REDUCTION), ceil_div(max_w, WIDTH_REDUCTION)
+
+
+def add_pos2d_and_flatten(feats: jnp.ndarray) -> jnp.ndarray:
+    """[B, H', W', C] + PE2D -> [B, H'*W', C] (row-major flatten, same order
+    as the reference's flatten(2) over [B, C, H, W])."""
+    b, h, w, c = feats.shape
+    pe = jnp.asarray(positional_encoding_2d(c, h, w))
+    x = feats + pe[None]
+    return x.reshape(b, h * w, c)
+
+
+def memory_valid_from_hw(hw: jnp.ndarray, grid_h: int, grid_w: int, prefix_semantics: bool = False) -> jnp.ndarray:
+    """Validity mask of the flattened memory from original input dims.
+
+    hw: [B, 2] original (pre-reduction) input sizes. With
+    prefix_semantics=True, reproduces the reference's prefix-length mask
+    (first ceil(h/16)*ceil(w/8) flat positions valid — only correct when the
+    sample fills the padded grid); default is the correct rectangle mask.
+    """
+    rh = ceil_div_arr(hw[:, 0], HEIGHT_REDUCTION)
+    rw = ceil_div_arr(hw[:, 1], WIDTH_REDUCTION)
+    if prefix_semantics:
+        return M.length_valid_mask(rh * rw, grid_h * grid_w)
+    return M.rect_valid_mask(jnp.stack([rh, rw], axis=1), grid_h, grid_w)
+
+
+def ceil_div_arr(a: jnp.ndarray, b: int) -> jnp.ndarray:
+    return -(-a // b)
+
+
+class UnimodalTransformer(nn.Module):
+    """Encoder + PE2D + decoder. Works for images and spectrograms alike
+    (the reference uses the same architecture for both)."""
+
+    vocab_size: int
+    max_seq_len: int
+    attn_window: int = -1
+    encoder_dropout: float = 0.5
+    decoder_dropout: float = 0.1
+    pos_dropout: float = 0.1
+    masked_norm: bool = False
+    prefix_memory_mask: bool = False  # reference-parity (incorrect) prefix masking
+    torch_float_parity: bool = False  # reference-parity additive float pad masks
+
+    def setup(self):
+        self.encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, name="encoder")
+        self.decoder = KernDecoder(
+            vocab_size=self.vocab_size,
+            max_seq_len=self.max_seq_len,
+            dropout=self.decoder_dropout,
+            attn_window=self.attn_window,
+            name="decoder",
+        )
+
+    def _pos_drop(self, x, deterministic):
+        if deterministic or self.pos_dropout == 0.0:
+            return x
+        import jax
+
+        keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - self.pos_dropout, x.shape)
+        return jnp.where(keep, x / (1.0 - self.pos_dropout), 0.0)
+
+    def encode(
+        self,
+        x: jnp.ndarray,  # [B, H, W, 1]
+        hw: Optional[jnp.ndarray] = None,  # [B, 2] original dims
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Returns (memory [B, S, C], memory_valid [B, S] or None)."""
+        valid = None
+        if hw is not None and self.masked_norm:
+            hh = jnp.arange(x.shape[1])[None, :, None] < hw[:, 0][:, None, None]
+            ww = jnp.arange(x.shape[2])[None, None, :] < hw[:, 1][:, None, None]
+            valid = hh & ww
+        feats = self.encoder(x, deterministic=deterministic, valid=valid)
+        mem = self._pos_drop(add_pos2d_and_flatten(feats), deterministic)
+        mem_valid = None
+        if hw is not None:
+            gh, gw = feats.shape[1], feats.shape[2]
+            mem_valid = memory_valid_from_hw(hw, gh, gw, self.prefix_memory_mask)
+        return mem, mem_valid
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        hw: Optional[jnp.ndarray],
+        y_in: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Training/teacher-forced forward. Returns logits [B, L, V]."""
+        memory, mem_valid = self.encode(x, hw, deterministic)
+        return self.decoder(
+            y_in, memory, mem_valid, deterministic=deterministic, torch_float_parity=self.torch_float_parity
+        )
+
+    # Decode-path helpers (used by training/decode.py through nn.apply)
+    def decode_prefill(self, x, hw=None, deterministic: bool = True):
+        memory, mem_valid = self.encode(x, hw, deterministic)
+        return self.decoder.prefill(memory), mem_valid
+
+    def decode_step(self, token_ids, pos, cache, cross, memory_valid=None):
+        return self.decoder.step(token_ids, pos, cache, cross, memory_valid)
+
+    def decode_init_cache(self, batch: int):
+        return self.decoder.init_cache(batch)
