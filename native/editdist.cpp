@@ -33,53 +33,78 @@ int64_t levenshtein_i32(const int32_t* a, int64_t n, const int32_t* b, int64_t m
   return row[n];
 }
 
-// Smith-Waterman local alignment (linear gap penalty) with traceback.
-// Used by the late-fusion pipeline (fusion/smith_waterman.py). Scores:
-// match/mismatch/gap as in swalign.NucleotideScoringMatrix + LocalAlignment.
+// Smith-Waterman local alignment with affine gaps (Gotoh) + traceback.
+// Used by the late-fusion pipeline (fusion/smith_waterman.py). Gap model
+// matches swalign.LocalAlignment: a gap of length L scores
+// gap_open + (L-1)*gap_extend (both negative).
 // Returns the cigar as (op, count) pairs written into out_ops/out_counts
 // (caller-allocated, capacity cap); fills r_pos/q_pos with the alignment
 // start (0-based) in ref/query. Returns number of cigar entries, or -1 if
-// capacity was insufficient. Ops: 0='M', 1='I' (query insertion), 2='D'.
+// capacity was insufficient. Ops: 0='M', 1='I' (consumes query), 2='D'
+// (consumes ref).
 int64_t smith_waterman_i32(const int32_t* ref, int64_t n, const int32_t* query, int64_t m,
-                           double match, double mismatch, double gap,
+                           double match, double mismatch, double gap_open, double gap_extend,
                            int32_t* out_ops, int32_t* out_counts, int64_t cap,
                            int64_t* r_pos, int64_t* q_pos) {
-  // H[i][j]: best local score ending at ref[i-1], query[j-1].
   const int64_t w = n + 1;
+  const double kNegInf = -1e30;
   std::vector<double> h(static_cast<size_t>((n + 1) * (m + 1)), 0.0);
-  std::vector<int8_t> tb(static_cast<size_t>((n + 1) * (m + 1)), 0);  // 0 stop, 1 diag, 2 up(D), 3 left(I)
+  std::vector<double> e(static_cast<size_t>((n + 1) * (m + 1)), kNegInf);  // gap in query (D: consume ref)
+  std::vector<double> f(static_cast<size_t>((n + 1) * (m + 1)), kNegInf);  // gap in ref (I: consume query)
+  // traceback for H: 0 stop, 1 diag, 2 from E (D), 3 from F (I)
+  std::vector<int8_t> tb(static_cast<size_t>((n + 1) * (m + 1)), 0);
+  std::vector<int8_t> te(static_cast<size_t>((n + 1) * (m + 1)), 0);  // 1: E extends
+  std::vector<int8_t> tf(static_cast<size_t>((n + 1) * (m + 1)), 0);  // 1: F extends
   double best = 0.0;
   int64_t bi = 0, bj = 0;
   for (int64_t j = 1; j <= m; ++j) {
     for (int64_t i = 1; i <= n; ++i) {
+      const size_t c = j * w + i;
+      const double eo = h[c - 1] + gap_open;
+      const double ee = e[c - 1] + gap_extend;
+      e[c] = std::max(eo, ee);
+      te[c] = (ee > eo) ? 1 : 0;
+      const double fo = h[c - w] + gap_open;
+      const double fe = f[c - w] + gap_extend;
+      f[c] = std::max(fo, fe);
+      tf[c] = (fe > fo) ? 1 : 0;
       const double s = (ref[i - 1] == query[j - 1]) ? match : mismatch;
-      const double diag = h[(j - 1) * w + (i - 1)] + s;
-      const double up = h[j * w + (i - 1)] + gap;    // consume ref -> 'D'
-      const double left = h[(j - 1) * w + i] + gap;  // consume query -> 'I'
+      const double diag = h[c - w - 1] + s;
       double v = 0.0;
       int8_t t = 0;
       if (diag > v) { v = diag; t = 1; }
-      if (up > v) { v = up; t = 2; }
-      if (left > v) { v = left; t = 3; }
-      h[j * w + i] = v;
-      tb[j * w + i] = t;
+      if (e[c] > v) { v = e[c]; t = 2; }
+      if (f[c] > v) { v = f[c]; t = 3; }
+      h[c] = v;
+      tb[c] = t;
       if (v > best) { best = v; bi = i; bj = j; }
     }
   }
   // Traceback from (bi, bj) to a zero cell, collecting ops in reverse.
   std::vector<int32_t> ops_rev, cnt_rev;
+  auto push = [&](int32_t op) {
+    if (!ops_rev.empty() && ops_rev.back() == op) cnt_rev.back() += 1;
+    else { ops_rev.push_back(op); cnt_rev.push_back(1); }
+  };
   int64_t i = bi, j = bj;
-  while (i > 0 && j > 0 && tb[j * w + i] != 0) {
-    int32_t op;
-    const int8_t t = tb[j * w + i];
-    if (t == 1) { op = 0; --i; --j; }
-    else if (t == 2) { op = 2; --i; }
-    else { op = 1; --j; }
-    if (!ops_rev.empty() && ops_rev.back() == op) {
-      cnt_rev.back() += 1;
+  int state = 0;  // 0: in H, 2: in E, 3: in F
+  while (i > 0 && j > 0) {
+    const size_t c = j * w + i;
+    if (state == 0) {
+      const int8_t t = tb[c];
+      if (t == 0) break;
+      if (t == 1) { push(0); --i; --j; }
+      else state = t;
+    } else if (state == 2) {
+      push(2);
+      const int8_t ext = te[c];
+      --i;
+      if (!ext) state = 0;
     } else {
-      ops_rev.push_back(op);
-      cnt_rev.push_back(1);
+      push(1);
+      const int8_t ext = tf[c];
+      --j;
+      if (!ext) state = 0;
     }
   }
   *r_pos = i;

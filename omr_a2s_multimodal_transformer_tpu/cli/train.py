@@ -1,0 +1,96 @@
+"""Train CLI — reference-parity flag surface (reference src/train.py:21-36).
+
+Example (paper config, reference run_experiments.sh:13):
+  python -m omr_a2s_multimodal_transformer_tpu.cli.train \
+    --ds_name grandstaff --krn_encoding kern --input_modality image \
+    --attn_window 100 --epochs 300 --patience 5 --batch_size 16 \
+    --use_distorted_images
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from omr_a2s_multimodal_transformer_tpu.cli import common
+from omr_a2s_multimodal_transformer_tpu.models import build_model
+from omr_a2s_multimodal_transformer_tpu.training.loop import Trainer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_data_args(p)
+    common.add_runtime_args(p)
+    p.add_argument("--input_modality", default="audio", choices=["audio", "image", "both"])
+    p.add_argument("--attn_window", type=int, default=-1)
+    p.add_argument("--mixer_type", default=None,
+                   choices=[None, "concat", "attn_img", "attn_audio", "attn_both"])
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--patience", type=int, default=20)
+    p.add_argument("--check_val_every_n_epoch", type=int, default=5)
+    p.add_argument("--checkpoint_path", default="", help="resume from this checkpoint if it exists")
+    p.add_argument("--teacher_forcing_prob", type=float, default=0.2)
+    p.add_argument("--teacher_forcing_modality_prob", type=float, default=0.2)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--masked_norm", action="store_true",
+                   help="mask padded pixels out of instance-norm statistics")
+    p.add_argument("--weights_dir", default=None, help="default: weights/<ds_name>")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    common.init_cli(args)
+    common.print_config("TRAIN EXPERIMENT", args)
+
+    dm = common.make_datamodule(args, args.input_modality)
+    dm.setup("fit")
+    vocab = dm.get_vocab()
+
+    hparams = {
+        "vocab_size": len(vocab),
+        "max_seq_len": dm.get_max_seq_len(),
+        "input_modality": args.input_modality,
+        "mixer_type": args.mixer_type,
+        "attn_window": args.attn_window,
+        "masked_norm": args.masked_norm,
+        "krn_encoding": args.krn_encoding,
+        "ds_name": args.ds_name,
+        "use_distorted_images": args.use_distorted_images,
+        "img_height": args.img_height,
+        "teacher_forcing_prob": args.teacher_forcing_prob,
+        "teacher_forcing_modality_prob": args.teacher_forcing_modality_prob,
+    }
+    model, multimodal = build_model(hparams)
+    model_name = common.model_name_from_args(args, args.input_modality, args.mixer_type)
+    weights_dir = args.weights_dir or os.path.join("weights", args.ds_name, model_name)
+    run_dir = args.run_dir or os.path.join("runs", args.ds_name, model_name)
+
+    trainer = Trainer(
+        model, vocab, hparams,
+        weights_dir=weights_dir, run_dir=run_dir,
+        epochs=args.epochs, patience=args.patience,
+        check_val_every_n_epoch=args.check_val_every_n_epoch,
+        learning_rate=args.learning_rate,
+        teacher_forcing_prob=args.teacher_forcing_prob,
+        teacher_forcing_modality_prob=args.teacher_forcing_modality_prob,
+        bf16_compute=not args.no_bf16, multimodal=multimodal,
+        mesh=common.make_mesh_if_needed(args),
+        use_wandb=args.use_wandb, wandb_group=model_name,
+        wandb_name=f"Train-{args.ds_name}_Test-{args.ds_name}",
+        seed=args.seed,
+    )
+    if args.checkpoint_path and os.path.exists(args.checkpoint_path):
+        print(f"Resuming from checkpoint: {args.checkpoint_path}")
+        sample = next(iter(dm.train_dataloader()))
+        trainer.init_state(sample)
+        trainer.restore(args.checkpoint_path)
+
+    result = trainer.fit(dm)
+    print(f"Best val_sym-er: {result['best_val_sym-er']:.4f} (epoch {result['best_epoch']})")
+    metrics = trainer.test(dm)
+    print({k: round(v, 4) for k, v in metrics.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -54,16 +54,19 @@ class ARDataset:
         self.use_distorted_images = use_distorted_images
         self.img_height = img_height
         self.parser = KrnParser(encoding=krn_encoding)
-        self.source = make_source(
-            self.ds_name, partition_type, krn_encoding, use_distorted_images,
+        self._source_kwargs = dict(
+            encoding=krn_encoding, use_distorted_images=use_distorted_images,
             data_root=data_root, synthetic=synthetic, synthetic_kwargs=synthetic_kwargs,
         )
+        self.source = make_source(self.ds_name, partition_type, **self._source_kwargs)
 
         # Vocabulary + max-lens caches (reference layout, ar_dataset.py:277-295).
+        # The vocabulary spans ALL splits of the collection
+        # (reference ar_dataset.py:312-321 builds over train+val+test).
         root = cache_root or GRANDSTAFF_PATH
         vocab_name = f"ar_w2i_{krn_encoding}.json"
         self.w2i_path = os.path.join(root, "vocabs", vocab_name)
-        self.vocab = load_or_build_vocabulary(self.w2i_path, self.source.transcripts, krn_encoding)
+        self.vocab = load_or_build_vocabulary(self.w2i_path, self._vocab_corpus, krn_encoding)
         max_lens_name = ("ImgDist_" if use_distorted_images else "") + vocab_name
         self.max_lens_path = os.path.join(root, "max_lens", max_lens_name)
         max_lens = load_or_build_max_lens(self.max_lens_path, self._scan_max_lens)
@@ -82,19 +85,35 @@ class ARDataset:
     def i2w(self):
         return self.vocab.i2w
 
+    def _vocab_corpus(self):
+        """Transcripts from every split (single shared vocabulary)."""
+        out = []
+        for split in ("train", "val", "test"):
+            src = self.source if split == self.partition_type else make_source(
+                self.ds_name, split, **self._source_kwargs
+            )
+            out.extend(src.transcripts())
+        return out
+
     def _scan_max_lens(self) -> Dict[str, int]:
-        """Cold scan over this source to establish global padding bounds
-        (reference ar_dataset.py:349-392; +1 on seq len for EOS)."""
+        """Cold scan over ALL splits to establish global padding bounds
+        (reference ar_dataset.py:349-392 scans the full collection;
+        +1 on seq len for EOS)."""
         msl = mih = miw = mah = maw = 0
-        for i in range(len(self.source)):
-            s = self.source[i]
-            msl = max(msl, len(self.parser.encode(s["transcript"])) + 1)
-            if "audio" in s and s["audio"] is not None:
-                xa = preprocess_audio(s["audio"]["array"], s["audio"]["sampling_rate"])
-                mah, maw = max(mah, xa.shape[1]), max(maw, xa.shape[2])
-            if "image" in s and s["image"] is not None:
-                xi = preprocess_image(s["image"], self.img_height)
-                mih, miw = max(mih, xi.shape[1]), max(miw, xi.shape[2])
+        sources = [
+            self.source if split == self.partition_type else make_source(self.ds_name, split, **self._source_kwargs)
+            for split in ("train", "val", "test")
+        ]
+        for src in sources:
+            for i in range(len(src)):
+                s = src[i]
+                msl = max(msl, len(self.parser.encode(s["transcript"])) + 1)
+                if "audio" in s and s["audio"] is not None:
+                    xa = preprocess_audio(s["audio"]["array"], s["audio"]["sampling_rate"])
+                    mah, maw = max(mah, xa.shape[1]), max(maw, xa.shape[2])
+                if "image" in s and s["image"] is not None:
+                    xi = preprocess_image(s["image"], self.img_height)
+                    mih, miw = max(mih, xi.shape[1]), max(miw, xi.shape[2])
         return {
             "max_seq_len": msl,
             "max_image_height": mih,

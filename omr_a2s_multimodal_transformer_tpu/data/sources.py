@@ -155,7 +155,10 @@ class SyntheticSource:
     def __getitem__(self, idx: int) -> Dict:
         from PIL import Image
 
-        rng = self._rng(idx)
+        # Transcript uses a FRESH generator so it matches transcripts()
+        # regardless of how many draws the image/audio below consume.
+        transcript = synthetic_kern(self._rng(idx), n_measures=self.n_measures)
+        rng = np.random.default_rng(self.seed * 100003 + idx + 7919)
         h = int(rng.integers(*self.img_height_range))
         w = int(rng.integers(*self.img_width_range))
         # White page with staff lines and note blobs.
@@ -175,7 +178,7 @@ class SyntheticSource:
             on = float(rng.uniform(0, secs * 0.5))
             wave += (0.2 * np.sin(2 * np.pi * f0 * t) * (t >= on)).astype(np.float32)
         return {
-            "transcript": synthetic_kern(rng, n_measures=self.n_measures),
+            "transcript": transcript,
             "image": Image.fromarray(img),
             "audio": {"array": wave, "sampling_rate": 22050},
         }

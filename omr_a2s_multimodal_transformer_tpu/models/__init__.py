@@ -1,0 +1,33 @@
+from typing import Dict, Tuple
+
+from omr_a2s_multimodal_transformer_tpu.models.multimodal import MultimodalTransformer
+from omr_a2s_multimodal_transformer_tpu.models.transformer import UnimodalTransformer
+
+
+def build_model(hparams: Dict) -> Tuple[object, bool]:
+    """Model factory from an hparams dict (stored in checkpoints).
+
+    Required keys: vocab_size, max_seq_len, input_modality.
+    Optional: attn_window, mixer_type, masked_norm, prefix_memory_mask,
+    torch_float_parity, dropout knobs.
+    """
+    common = dict(
+        vocab_size=hparams["vocab_size"],
+        max_seq_len=hparams["max_seq_len"],
+        attn_window=hparams.get("attn_window", -1),
+        encoder_dropout=hparams.get("encoder_dropout", 0.5),
+        decoder_dropout=hparams.get("decoder_dropout", 0.1),
+        pos_dropout=hparams.get("pos_dropout", 0.1),
+        masked_norm=hparams.get("masked_norm", False),
+        prefix_memory_mask=hparams.get("prefix_memory_mask", False),
+        torch_float_parity=hparams.get("torch_float_parity", False),
+    )
+    if hparams["input_modality"] == "both":
+        return (
+            MultimodalTransformer(mixer_type=hparams.get("mixer_type") or "concat", **common),
+            True,
+        )
+    return UnimodalTransformer(**common), False
+
+
+__all__ = ["UnimodalTransformer", "MultimodalTransformer", "build_model"]

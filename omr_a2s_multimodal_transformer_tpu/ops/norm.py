@@ -16,13 +16,18 @@ import jax.numpy as jnp
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-3, valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x: [B, H, W, C]; valid: optional [B, H, W] bool (True = real pixel)."""
+    """x: [B, H, W, C]; valid: optional [B, H, W] bool (True = real pixel).
+
+    Statistics accumulate in f32 regardless of input dtype (bf16-safe).
+    """
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
     if valid is None:
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     else:
-        m = valid[..., None].astype(x.dtype)
+        m = valid[..., None].astype(jnp.float32)
         n = jnp.maximum(jnp.sum(m, axis=(1, 2), keepdims=True), 1.0)
-        mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / n
-        var = jnp.sum(jnp.square(x - mean) * m, axis=(1, 2), keepdims=True) / n
-    return (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+        mean = jnp.sum(x32 * m, axis=(1, 2), keepdims=True) / n
+        var = jnp.sum(jnp.square(x32 - mean) * m, axis=(1, 2), keepdims=True) / n
+    return ((x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps))).astype(dtype)

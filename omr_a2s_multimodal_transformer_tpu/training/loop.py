@@ -1,0 +1,239 @@
+"""Training runtime: the Lightning-Trainer equivalent, as an explicit JAX loop.
+
+Responsibilities (reference train.py:115-158): epoch loop, validation every
+N epochs via greedy decode + SER/seq-ER, best-checkpoint tracking on
+val_sym-er (min), early stopping (min_delta 0.01), resume, final test of the
+best weights, metric logging. TPU-first: jitted bf16 train step with donated
+state, batched KV-cached eval decode, optional (data, model) mesh sharding.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omr_a2s_multimodal_transformer_tpu.data.vocab import Vocabulary
+from omr_a2s_multimodal_transformer_tpu.parallel import mesh as mesh_lib
+from omr_a2s_multimodal_transformer_tpu.training import checkpoint as ckpt_lib
+from omr_a2s_multimodal_transformer_tpu.training.corruption import draw_modality
+from omr_a2s_multimodal_transformer_tpu.training.decode import cut_at_eos, greedy_decode_fn
+from omr_a2s_multimodal_transformer_tpu.training.train_state import TrainState, adam, make_train_step
+from omr_a2s_multimodal_transformer_tpu.utils.logging import MetricsLogger
+from omr_a2s_multimodal_transformer_tpu.utils.metrics import compute_metrics
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        vocab: Vocabulary,
+        hparams: Dict,
+        weights_dir: str,
+        run_dir: str = "runs/default",
+        epochs: int = 1000,
+        patience: int = 20,
+        min_delta: float = 0.01,
+        check_val_every_n_epoch: int = 5,
+        learning_rate: float = 1e-4,
+        teacher_forcing_prob: float = 0.2,
+        teacher_forcing_modality_prob: float = 0.2,
+        bf16_compute: bool = True,
+        multimodal: bool = False,
+        mesh=None,
+        use_wandb: bool = False,
+        wandb_group: Optional[str] = None,
+        wandb_name: Optional[str] = None,
+        seed: int = 42,
+        ytest_i2w: Optional[Dict[int, str]] = None,
+        compute_mv2h: bool = False,
+    ):
+        self.model = model
+        self.vocab = vocab
+        self.hparams = hparams
+        self.weights_dir = weights_dir
+        self.epochs = epochs
+        self.patience = patience
+        self.min_delta = min_delta
+        self.check_every = check_val_every_n_epoch
+        self.multimodal = multimodal
+        self.tf_modality_prob = teacher_forcing_modality_prob
+        self.mesh = mesh
+        self.seed = seed
+        self.compute_mv2h = compute_mv2h
+        self.ytest_i2w = ytest_i2w  # cross-domain eval: GT decoded in test vocab
+        self.logger = MetricsLogger(
+            run_dir, use_wandb=use_wandb, wandb_group=wandb_group, wandb_name=wandb_name, config=hparams
+        )
+        self.tx = adam(learning_rate)
+        self.train_step = make_train_step(
+            model, vocab_size=len(vocab),
+            teacher_forcing_prob=teacher_forcing_prob,
+            bf16_compute=bf16_compute, multimodal=multimodal,
+        )
+        self._decode = None
+        self.state: Optional[TrainState] = None
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, sample_batch: Dict) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        if self.multimodal:
+            variables = jax.jit(self.model.init)(
+                {"params": rng},
+                jnp.asarray(sample_batch["xi"]), jnp.asarray(sample_batch["xi_hw"]),
+                jnp.asarray(sample_batch["xa"]), jnp.asarray(sample_batch["xa_hw"]),
+                jnp.asarray(sample_batch["y_in"]),
+            )
+        else:
+            variables = jax.jit(self.model.init)(
+                {"params": rng},
+                jnp.asarray(sample_batch["x"]), jnp.asarray(sample_batch["x_hw"]),
+                jnp.asarray(sample_batch["y_in"]),
+            )
+        params = variables["params"]
+        if self.mesh is not None:
+            shardings = mesh_lib.param_shardings(params, self.mesh)
+            params = jax.tree.map(jax.device_put, params, shardings)
+        self.state = TrainState.create(params, self.tx)
+        return self.state
+
+    def restore(self, path: str) -> None:
+        restored = ckpt_lib.restore_checkpoint(path)
+        params = restored["params"] if "params" in restored else restored
+        if self.state is None:
+            self.state = TrainState.create(jax.tree.map(jnp.asarray, params), self.tx)
+        else:
+            self.state = self.state.replace(params=jax.tree.map(jnp.asarray, params))
+        if isinstance(restored, dict) and "opt_state" in restored:
+            # resume full optimizer state when structurally compatible
+            try:
+                target = jax.tree.map(np.asarray, self.state.opt_state)
+                self.state = self.state.replace(
+                    opt_state=jax.tree.map(jnp.asarray, ckpt_lib.restore_checkpoint(path)["opt_state"])
+                )
+                del target
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------------ train
+    def _put(self, batch: Dict) -> Dict:
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            arrays = mesh_lib.shard_batch(arrays, self.mesh)
+        return arrays
+
+    def fit(self, datamodule) -> Dict[str, float]:
+        datamodule.setup("fit")
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+        if self.state is None:
+            sample = next(iter(train_loader))
+            self.init_state(sample)
+
+        host_rng = np.random.default_rng(self.seed)
+        rng = jax.random.PRNGKey(self.seed + 1)
+        best = float("inf")
+        best_epoch = -1
+        bad_checks = 0
+        step = int(self.state.step)
+
+        for epoch in range(1, self.epochs + 1):
+            t0 = time.time()
+            losses = []
+            for batch in train_loader:
+                rng, sub = jax.random.split(rng)
+                b = self._put(batch)
+                if self.multimodal:
+                    modality = draw_modality(host_rng, self.tf_modality_prob)
+                    self.state, loss = self.train_step(self.state, b, sub, modality)
+                else:
+                    self.state, loss = self.train_step(self.state, b, sub)
+                losses.append(loss)
+                step += 1
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            dt = time.time() - t0
+            n_samples = len(losses) * train_loader.batch_size
+            self.logger.log(
+                {"epoch": epoch, "train_loss": train_loss, "samples_per_sec": n_samples / max(dt, 1e-9)},
+                step=step,
+            )
+
+            if epoch % self.check_every == 0:
+                metrics = self.evaluate(val_loader, name="val")
+                self.logger.log({"epoch": epoch, **metrics}, step=step)
+                score = metrics["val_sym-er"]
+                if score < best - self.min_delta:
+                    best, best_epoch, bad_checks = score, epoch, 0
+                    self.save(tag="best", extra={"val_sym-er": score, "epoch": epoch})
+                else:
+                    bad_checks += 1
+                    if bad_checks >= self.patience:
+                        self.logger.log({"early_stop_epoch": epoch, "best_val_sym-er": best}, step=step)
+                        break
+
+        # reload best weights (reference train.py:156-158)
+        best_path = os.path.join(self.weights_dir, "best")
+        if os.path.exists(best_path):
+            self.restore(best_path)
+        return {"best_val_sym-er": best, "best_epoch": best_epoch}
+
+    # ------------------------------------------------------------------- eval
+    def _get_decode(self):
+        if self._decode is None:
+            self._decode = jax.jit(
+                greedy_decode_fn(
+                    self.model,
+                    max_len=self.model.max_seq_len,
+                    sos_id=self.vocab.sos_id,
+                    eos_id=self.vocab.eos_id,
+                    multimodal=self.multimodal,
+                )
+            )
+        return self._decode
+
+    def evaluate(self, loader, name: str = "val", gt_i2w: Optional[Dict[int, str]] = None) -> Dict[str, float]:
+        decode = self._get_decode()
+        i2w = self.vocab.i2w
+        gt_i2w = gt_i2w or (self.ytest_i2w if name == "test" and self.ytest_i2w else i2w)
+        eos = self.vocab.eos_id
+        y_true, y_pred = [], []
+        variables = {"params": self.state.params}
+        for batch in loader:
+            b = self._put(batch)
+            if self.multimodal:
+                tokens, _ = decode(variables, b["xi"], b["xi_hw"], b["xa"], b["xa_hw"])
+            else:
+                tokens, _ = decode(variables, b["x"], b["x_hw"])
+            pred_ids, _ = cut_at_eos(tokens, tokens, eos)
+            gt_ids, _ = cut_at_eos(batch["y_out"], batch["y_out"], eos)
+            # GT rows are padded with 0s; strip pads when no eos was found
+            for p_row, g_row in zip(pred_ids, gt_ids):
+                g_row = [g for g in g_row if g != 0]
+                y_pred.append([i2w[i] for i in p_row])
+                y_true.append([gt_i2w[i] for i in g_row])
+        metrics = compute_metrics(y_true, y_pred, compute_mv2h=self.compute_mv2h)
+        return {f"{name}_{k}": v for k, v in metrics.items()}
+
+    def test(self, datamodule) -> Dict[str, float]:
+        datamodule.setup("test")
+        metrics = self.evaluate(datamodule.test_dataloader(), name="test")
+        self.logger.log(metrics, step=int(self.state.step))
+        return metrics
+
+    # ------------------------------------------------------------------- ckpt
+    def save(self, tag: str = "best", extra: Optional[Dict] = None) -> str:
+        path = os.path.join(self.weights_dir, tag)
+        hp = dict(self.hparams)
+        if extra:
+            hp.update(extra)
+        state = {
+            "params": jax.tree.map(np.asarray, self.state.params),
+            "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
+            "step": int(self.state.step),
+        }
+        ckpt_lib.save_checkpoint(path, state, hparams=hp)
+        return path

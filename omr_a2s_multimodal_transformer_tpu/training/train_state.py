@@ -1,0 +1,94 @@
+"""Train state + jitted train/eval step factories.
+
+The training runtime the reference delegates to PyTorch Lightning
+(Trainer: epoch loop, AMP, checkpoint/early-stop callbacks; train.py:140-154)
+is implemented here as explicit jitted steps over an optax Adam state.
+Mixed precision is bf16 compute with f32 params/optimizer (TPU-native;
+no loss scaler needed, unlike the reference's fp16 "16-mixed").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from omr_a2s_multimodal_transformer_tpu.training.corruption import corrupt_tokens
+from omr_a2s_multimodal_transformer_tpu.training.losses import cross_entropy_ignore_pad
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(step=jnp.int32(0), params=params, opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=opt_state,
+        )
+
+
+def adam(lr: float = 1e-4) -> optax.GradientTransformation:
+    """Adam with the reference's hyperparameters (model.py:134-139)."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
+def make_train_step(
+    model,
+    vocab_size: int,
+    teacher_forcing_prob: float = 0.2,
+    bf16_compute: bool = True,
+    pad_id: int = 0,
+    multimodal: bool = False,
+) -> Callable:
+    """Build the jitted train step.
+
+    Unimodal:   step(state, batch{x, x_hw, y_in, y_out}, rng) -> (state, loss)
+    Multimodal: step(state, batch{xi, xi_hw, xa, xa_hw, y_in, y_out}, rng,
+                     modality) with static modality in {image, audio, both}.
+    The train-state is donated (params update in place in HBM).
+    """
+
+    def loss_fn(params, batch, y_in, drop_rng, modality):
+        p = _cast_tree(params, jnp.bfloat16) if bf16_compute else params
+        def cast(x):
+            return x.astype(jnp.bfloat16) if bf16_compute else x
+        if multimodal:
+            logits = model.apply(
+                {"params": p},
+                cast(batch["xi"]), batch["xi_hw"], cast(batch["xa"]), batch["xa_hw"], y_in,
+                modality, False, rngs={"dropout": drop_rng},
+            )
+        else:
+            logits = model.apply(
+                {"params": p}, cast(batch["x"]), batch["x_hw"], y_in, False,
+                rngs={"dropout": drop_rng},
+            )
+        return cross_entropy_ignore_pad(logits, batch["y_out"], pad_id)
+
+    def _step(state: TrainState, batch: Dict, rng: jax.Array, modality: Optional[str]) -> tuple:
+        rng_c, rng_d = jax.random.split(rng)
+        y_in = corrupt_tokens(rng_c, batch["y_in"], vocab_size, teacher_forcing_prob, pad_id)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, y_in, rng_d, modality)
+        grads = _cast_tree(grads, jnp.float32)
+        return state.apply_gradients(grads), loss
+
+    if multimodal:
+        return jax.jit(_step, static_argnums=(3,), donate_argnums=(0,))
+    return jax.jit(functools.partial(_step, modality=None), donate_argnums=(0,))

@@ -5,12 +5,16 @@ backend — tests must jit everything and reuse compiled programs)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The container pins JAX_PLATFORMS=axon (remote TPU tunnel) and its
+# sitecustomize re-asserts it programmatically — override BOTH.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,64 @@
+"""End-to-end integration on the synthetic corpus: train -> val -> best
+checkpoint -> resume -> test, all on CPU. This is the reference's
+train.py/test.py flow compressed (the reference has no such test)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from omr_a2s_multimodal_transformer_tpu.data.dataset import ARDataModule
+from omr_a2s_multimodal_transformer_tpu.models import build_model
+from omr_a2s_multimodal_transformer_tpu.training.loop import Trainer
+
+SYN = dict(n=6, img_height_range=(32, 33), img_width_range=(64, 96),
+           audio_seconds_range=(0.3, 0.5), n_measures=1)
+
+
+@pytest.fixture(scope="module")
+def dm(tmp_path_factory):
+    cache = str(tmp_path_factory.mktemp("cache"))
+    dm = ARDataModule(
+        ds_name="synthetic", krn_encoding="kern", input_modality="image",
+        batch_size=3, num_workers=1, synthetic=True, synthetic_kwargs=SYN,
+        cache_root=cache,
+    )
+    dm.setup("fit")
+    dm.setup("test")
+    return dm
+
+
+def test_end_to_end_train_val_test(dm, tmp_path):
+    vocab = dm.get_vocab()
+    hparams = {
+        "vocab_size": len(vocab),
+        "max_seq_len": dm.get_max_seq_len(),
+        "input_modality": "image",
+        "attn_window": 10,
+    }
+    model, multimodal = build_model(hparams)
+    trainer = Trainer(
+        model, vocab, hparams,
+        weights_dir=str(tmp_path / "weights"),
+        run_dir=str(tmp_path / "run"),
+        epochs=2, patience=3, check_val_every_n_epoch=1,
+        bf16_compute=False, multimodal=multimodal,
+    )
+    result = trainer.fit(dm)
+    assert np.isfinite(result["best_val_sym-er"])
+
+    # best checkpoint written + loadable
+    best = os.path.join(str(tmp_path / "weights"), "best")
+    assert os.path.exists(best)
+
+    metrics = trainer.test(dm)
+    assert "test_sym-er" in metrics and np.isfinite(metrics["test_sym-er"])
+
+    # resume path: fresh trainer restores weights
+    model2, _ = build_model(hparams)
+    t2 = Trainer(model2, vocab, hparams, weights_dir=str(tmp_path / "w2"),
+                 run_dir=str(tmp_path / "r2"), bf16_compute=False)
+    t2.restore(best)
+    p_old = trainer.state.params["decoder"]["out_layer"]["kernel"]
+    p_new = t2.state.params["decoder"]["out_layer"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(p_old), np.asarray(p_new))
