@@ -64,11 +64,11 @@ def bench_jax(cfg) -> float:
     rng = jax.random.PRNGKey(1)
 
     state, loss = step(state, batch, rng)  # compile
-    jax.block_until_ready(loss)
+    _ = float(loss)  # value fetch: block_until_ready alone returns early on the axon backend
     t0 = time.perf_counter()
     for _ in range(cfg["steps"]):
         state, loss = step(state, batch, rng)
-    jax.block_until_ready(loss)
+    _ = float(loss)  # final loss depends on every step -> forces the whole chain
     dt = time.perf_counter() - t0
     return cfg["steps"] * b / dt
 
