@@ -25,6 +25,15 @@ from omr_a2s_multimodal_transformer_tpu.training.decode import cut_at_eos, greed
 from omr_a2s_multimodal_transformer_tpu.training.train_state import TrainState, adam, make_train_step
 from omr_a2s_multimodal_transformer_tpu.utils.logging import MetricsLogger
 from omr_a2s_multimodal_transformer_tpu.utils.metrics import compute_metrics
+from omr_a2s_multimodal_transformer_tpu.utils.profiling import StepTimer, trace
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 class Trainer:
@@ -51,6 +60,7 @@ class Trainer:
         seed: int = 42,
         ytest_i2w: Optional[Dict[int, str]] = None,
         compute_mv2h: bool = False,
+        profile_first_epoch: bool = False,
     ):
         self.model = model
         self.vocab = vocab
@@ -66,6 +76,7 @@ class Trainer:
         self.seed = seed
         self.compute_mv2h = compute_mv2h
         self.ytest_i2w = ytest_i2w  # cross-domain eval: GT decoded in test vocab
+        self.profile_first_epoch = profile_first_epoch
         self.logger = MetricsLogger(
             run_dir, use_wandb=use_wandb, wandb_group=wandb_group, wandb_name=wandb_name, config=hparams
         )
@@ -140,25 +151,39 @@ class Trainer:
         best_epoch = -1
         bad_checks = 0
         step = int(self.state.step)
+        timer = StepTimer()
 
         for epoch in range(1, self.epochs + 1):
             t0 = time.time()
             losses = []
-            for batch in train_loader:
-                rng, sub = jax.random.split(rng)
-                b = self._put(batch)
-                if self.multimodal:
-                    modality = draw_modality(host_rng, self.tf_modality_prob)
-                    self.state, loss = self.train_step(self.state, b, sub, modality)
-                else:
-                    self.state, loss = self.train_step(self.state, b, sub)
-                losses.append(loss)
-                step += 1
+            it = iter(train_loader)
+            ctx = (
+                trace(self.logger.path + "_trace")
+                if (self.profile_first_epoch and epoch == 1)
+                else _nullcontext()
+            )
+            with ctx:
+                while True:
+                    with timer.phase("data"):
+                        batch = next(it, None)
+                    if batch is None:
+                        break
+                    rng, sub = jax.random.split(rng)
+                    with timer.phase("step"):
+                        b = self._put(batch)
+                        if self.multimodal:
+                            modality = draw_modality(host_rng, self.tf_modality_prob)
+                            self.state, loss = self.train_step(self.state, b, sub, modality)
+                        else:
+                            self.state, loss = self.train_step(self.state, b, sub)
+                    losses.append(loss)
+                    step += 1
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
             dt = time.time() - t0
             n_samples = len(losses) * train_loader.batch_size
             self.logger.log(
-                {"epoch": epoch, "train_loss": train_loss, "samples_per_sec": n_samples / max(dt, 1e-9)},
+                {"epoch": epoch, "train_loss": train_loss,
+                 "samples_per_sec": n_samples / max(dt, 1e-9), **timer.summary()},
                 step=step,
             )
 
