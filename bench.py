@@ -138,8 +138,57 @@ def get_baseline(cfg) -> dict:
     return cached
 
 
+def bench_decode(cfg) -> float:
+    """Batched KV-cached greedy decode throughput (tokens/sec) — the
+    reference's dominant eval cost is its uncached per-sample loop."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+
+    from omr_a2s_multimodal_transformer_tpu.models import build_model
+    from omr_a2s_multimodal_transformer_tpu.training.decode import greedy_decode_fn
+
+    hp = {
+        "vocab_size": cfg["vocab"],
+        "max_seq_len": cfg["seq_len"],
+        "input_modality": "image",
+        "attn_window": cfg["attn_window"],
+    }
+    model, _ = build_model(hp)
+    b = cfg["batch"]
+    x = jnp.ones((b, cfg["height"], cfg["width"], 1), jnp.float32)
+    hw = jnp.asarray([[cfg["height"], cfg["width"]]] * b, jnp.int32)
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, x, hw, jnp.ones((b, 4), jnp.int32)
+    )
+    decode = jax.jit(greedy_decode_fn(model, cfg["seq_len"], sos_id=1, eos_id=0))
+    tokens, _ = decode(params, x, hw)
+    _ = jax.device_get(tokens)
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        tokens, _ = decode(params, x, hw)
+    _ = jax.device_get(tokens)
+    dt = (time.perf_counter() - t0) / iters
+    return b * cfg["seq_len"] / dt  # eos_id=0 never emitted -> full-length decode
+
+
 def main():
     cfg = dict(BENCH_CONFIG)
+    if len(sys.argv) > 1 and sys.argv[1] == "decode":
+        tps = bench_decode(cfg)
+        print(
+            json.dumps(
+                {
+                    "metric": "greedy_decode_tokens_per_sec_per_chip",
+                    "value": round(tps, 1),
+                    "unit": f"tokens/s (b{cfg['batch']} {cfg['height']}x{cfg['width']} L{cfg['seq_len']}, KV-cached)",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
     ours = bench_jax(cfg)
     try:
         baseline = get_baseline(cfg)

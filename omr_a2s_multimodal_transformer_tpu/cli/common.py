@@ -26,6 +26,8 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data_root", default=None, help="local grandstaff tree (else HF Hub)")
     p.add_argument("--cache_root", default=None, help="vocab/max-lens cache dir (default ./grandstaff)")
     p.add_argument("--synthetic", action="store_true", help="use the synthetic corpus (smoke runs)")
+    p.add_argument("--synthetic_config", default=None,
+                   help="JSON dict of SyntheticSource kwargs (smoke runs)")
 
 
 def add_runtime_args(p: argparse.ArgumentParser) -> None:
@@ -48,6 +50,7 @@ def make_datamodule(args, input_modality: str) -> ARDataModule:
         num_workers=args.num_workers,
         data_root=args.data_root,
         synthetic=args.synthetic or args.ds_name == "synthetic",
+        synthetic_kwargs=json.loads(args.synthetic_config) if args.synthetic_config else None,
         cache_root=args.cache_root,
         seed=args.seed,
     )

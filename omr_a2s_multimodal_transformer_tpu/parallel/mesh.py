@@ -99,6 +99,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch dict with batch-dim sharding."""
-    s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    """Device-put a host batch dict with batch-dim sharding over 'data'.
+    Arrays whose leading dim isn't divisible by the data axis (remainder
+    eval batches) are replicated instead."""
+    data = mesh.shape["data"]
+    sharded = batch_sharding(mesh)
+    repl = replicated(mesh)
+
+    def put(x):
+        fits = getattr(x, "ndim", 0) >= 1 and x.shape[0] % data == 0
+        return jax.device_put(x, sharded if fits else repl)
+
+    return jax.tree.map(put, batch)

@@ -113,22 +113,31 @@ class Trainer:
         return self.state
 
     def restore(self, path: str) -> None:
+        """Restore params (+ optimizer state and step when present and
+        structurally compatible — full resume semantics)."""
+        if self.state is not None:
+            target = {
+                "params": jax.tree.map(np.asarray, self.state.params),
+                "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
+                "step": 0,
+            }
+            try:  # full resume with structure-preserving restore
+                restored = ckpt_lib.restore_checkpoint(path, target=target)
+                self.state = self.state.replace(
+                    params=jax.tree.map(jnp.asarray, restored["params"]),
+                    opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+                    step=jnp.int32(restored["step"]),
+                )
+                return
+            except Exception:
+                pass  # fall through to params-only restore
         restored = ckpt_lib.restore_checkpoint(path)
         params = restored["params"] if "params" in restored else restored
+        params = jax.tree.map(jnp.asarray, params)
         if self.state is None:
-            self.state = TrainState.create(jax.tree.map(jnp.asarray, params), self.tx)
+            self.state = TrainState.create(params, self.tx)
         else:
-            self.state = self.state.replace(params=jax.tree.map(jnp.asarray, params))
-        if isinstance(restored, dict) and "opt_state" in restored:
-            # resume full optimizer state when structurally compatible
-            try:
-                target = jax.tree.map(np.asarray, self.state.opt_state)
-                self.state = self.state.replace(
-                    opt_state=jax.tree.map(jnp.asarray, ckpt_lib.restore_checkpoint(path)["opt_state"])
-                )
-                del target
-            except Exception:
-                pass
+            self.state = self.state.replace(params=params)
 
     # ------------------------------------------------------------------ train
     def _put(self, batch: Dict) -> Dict:

@@ -102,7 +102,47 @@ def compute_mv2h_metrics(y_true: Sequence[List[str]], y_pred: Sequence[List[str]
         p_txt = midi2txt(krn2midi(pred_krn))
         return mv2h(Music.from_file(r_txt), Music.from_file(p_txt))
 
-    totals = dict.fromkeys(["multi_pitch", "voice", "meter", "harmony", "note_value"], 0.0)
+    fields = ("multi_pitch", "voice", "meter", "harmony", "note_value")
+
+    def write_voice(src: str, dst: str, voice: int) -> bool:
+        """Extract one tab-separated voice column into its own kern file
+        (reference metrics.py:163-180). False when the column is absent."""
+        try:
+            with open(src) as f:
+                col = [ln.split("\t")[voice].strip() for ln in f]
+        except IndexError:
+            return False
+        with open(dst, "w") as f:
+            f.write("\n".join(col) + "\n")
+        return True
+
+    def score_monophonic(gt_krn: str, pred_krn: str, tmp: str):
+        """Per-voice fallback when the polyphonic prediction fails to parse
+        (reference metrics.py:182-239): average MV2H over aligned voices;
+        a voice present on only one side contributes 0."""
+        sums = dict.fromkeys(fields, 0.0)
+        n_voices = 0
+        while True:
+            gv = os.path.join(tmp, "gt_voice.krn")
+            pv = os.path.join(tmp, "pred_voice.krn")
+            has_g = write_voice(gt_krn, gv, n_voices)
+            has_p = write_voice(pred_krn, pv, n_voices)
+            if not has_g and not has_p:
+                break
+            if has_g and has_p:
+                try:
+                    res = score_pair(gv, pv)
+                    for k in fields:
+                        sums[k] += getattr(res, k)
+                except Exception:
+                    pass
+            n_voices += 1
+        if n_voices:
+            for k in fields:
+                sums[k] /= n_voices
+        return sums
+
+    totals = dict.fromkeys(fields, 0.0)
     with tempfile.TemporaryDirectory() as tmp:
         for t, h in zip(y_true, y_pred):
             gt_path = os.path.join(tmp, "gt.krn")
@@ -110,9 +150,20 @@ def compute_mv2h_metrics(y_true: Sequence[List[str]], y_pred: Sequence[List[str]
             try:
                 seq2kern(t, gt_path)
                 seq2kern(h, pred_path)
-                res = score_pair(gt_path, pred_path)
-                for k in totals:
-                    totals[k] += getattr(res, k)
+                try:
+                    converterm21.parse(pred_path).write("midi")
+                    polyphonic_ok = True
+                except Exception:
+                    polyphonic_ok = False
+                if polyphonic_ok:
+                    seq2kern(t, gt_path)  # krn2midi consumes/rewrites files
+                    seq2kern(h, pred_path)
+                    res = score_pair(gt_path, pred_path)
+                    vals = {k: getattr(res, k) for k in fields}
+                else:
+                    vals = score_monophonic(gt_path, pred_path, tmp)
+                for k in fields:
+                    totals[k] += vals[k]
             except Exception:
                 pass  # contributes 0, like the reference (metrics.py:312-314)
 

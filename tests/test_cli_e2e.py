@@ -1,0 +1,128 @@
+"""CLI-level end-to-end tests on the synthetic corpus: train image+audio
+models, multimodal model with modality dropout, checkpoint split, SW fusion
+and weighted fusion evaluation — the whole reference experiment surface
+(run_experiments.sh) in miniature."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from omr_a2s_multimodal_transformer_tpu.data.dataset import ARDataModule
+from omr_a2s_multimodal_transformer_tpu.models import build_model
+from omr_a2s_multimodal_transformer_tpu.training.loop import Trainer
+
+SYN = dict(n=6, img_height_range=(32, 33), img_width_range=(64, 96),
+           audio_seconds_range=(0.3, 0.5), n_measures=1)
+SYN_JSON = json.dumps({k: list(v) if isinstance(v, tuple) else v for k, v in SYN.items()})
+SYN_ARGS = ["--synthetic", "--synthetic_config", SYN_JSON]
+
+
+def _dm(cache, modality):
+    dm = ARDataModule(
+        ds_name="synthetic", krn_encoding="kern", input_modality=modality,
+        batch_size=3, num_workers=1, synthetic=True, synthetic_kwargs=SYN,
+        cache_root=cache,
+    )
+    dm.setup("fit")
+    dm.setup("test")
+    return dm
+
+
+def _train_one(cache, tmp, modality, mixer=None, epochs=1):
+    dm = _dm(cache, modality)
+    vocab = dm.get_vocab()
+    hparams = {
+        "vocab_size": len(vocab),
+        "max_seq_len": dm.get_max_seq_len(),
+        "input_modality": modality,
+        "mixer_type": mixer,
+        "attn_window": 10,
+    }
+    model, multimodal = build_model(hparams)
+    trainer = Trainer(
+        model, vocab, hparams,
+        weights_dir=os.path.join(tmp, f"weights_{modality}_{mixer}"),
+        run_dir=os.path.join(tmp, f"run_{modality}_{mixer}"),
+        epochs=epochs, patience=3, check_val_every_n_epoch=1,
+        bf16_compute=False, multimodal=multimodal,
+    )
+    trainer.fit(dm)
+    return trainer, dm
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("cli_e2e"))
+    cache = os.path.join(tmp, "cache")
+    return tmp, cache
+
+
+@pytest.fixture(scope="module")
+def unimodal_ckpts(workspace):
+    tmp, cache = workspace
+    img_trainer, _ = _train_one(cache, tmp, "image")
+    audio_trainer, _ = _train_one(cache, tmp, "audio")
+    img_path = os.path.join(tmp, "weights_image_None", "best")
+    audio_path = os.path.join(tmp, "weights_audio_None", "best")
+    assert os.path.exists(img_path) and os.path.exists(audio_path)
+    return img_path, audio_path
+
+
+def test_multimodal_training_with_modality_dropout(workspace):
+    tmp, cache = workspace
+    trainer, dm = _train_one(cache, tmp, "both", mixer="concat")
+    metrics = trainer.test(dm)
+    assert np.isfinite(metrics["test_sym-er"])
+    # checkpoint split -> two unimodal trees
+    from omr_a2s_multimodal_transformer_tpu.training.checkpoint import save_split_checkpoints
+
+    both_path = os.path.join(tmp, "weights_both_concat", "best")
+    img_path, audio_path = save_split_checkpoints(both_path)
+    assert os.path.exists(img_path) and os.path.exists(audio_path)
+
+
+def test_sw_fusion_cli(workspace, unimodal_ckpts, capsys):
+    tmp, cache = workspace
+    img_path, audio_path = unimodal_ckpts
+    from omr_a2s_multimodal_transformer_tpu.cli import sw_test
+
+    sw_test.main([
+        "--ds_name", "synthetic", "--krn_encoding", "kern", *SYN_ARGS,
+        "--cache_root", cache, "--batch_size", "3", "--num_workers", "1",
+        "--image_checkpoint_path", img_path, "--audio_checkpoint_path", audio_path,
+        "--run_dir", os.path.join(tmp, "sw_run"),
+    ])
+    out = capsys.readouterr().out
+    assert "sym-er" in out and "Done!" in out
+
+
+def test_weighted_fusion_cli(workspace, unimodal_ckpts, capsys):
+    tmp, cache = workspace
+    img_path, audio_path = unimodal_ckpts
+    from omr_a2s_multimodal_transformer_tpu.cli import weighted_test
+
+    weighted_test.main([
+        "--ds_name", "synthetic", "--krn_encoding", "kern", *SYN_ARGS,
+        "--cache_root", cache, "--batch_size", "3", "--num_workers", "1",
+        "--image_checkpoint_path", img_path, "--audio_checkpoint_path", audio_path,
+        "--alpha", "0.5", "--run_dir", os.path.join(tmp, "w_run"),
+    ])
+    out = capsys.readouterr().out
+    assert "sym-er" in out and "Done!" in out
+
+
+def test_test_cli_cross_domain(workspace, unimodal_ckpts, capsys):
+    tmp, cache = workspace
+    img_path, _ = unimodal_ckpts
+    from omr_a2s_multimodal_transformer_tpu.cli import test as test_cli
+
+    test_cli.main([
+        "--ds_name", "synthetic", "--krn_encoding", "kern", *SYN_ARGS,
+        "--cache_root", cache, "--batch_size", "3", "--num_workers", "1",
+        "--input_modality", "image", "--checkpoint_path", img_path,
+        "--run_dir", os.path.join(tmp, "t_run"), "--no_bf16",
+    ])
+    out = capsys.readouterr().out
+    assert "test_sym-er" in out

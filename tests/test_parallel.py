@@ -1,0 +1,81 @@
+"""Multi-device sharding tests on the 8-device CPU simulation mesh:
+TP rules produce valid shardings, dp training step runs sharded, and the
+sharded step matches the single-device step numerically."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omr_a2s_multimodal_transformer_tpu.models.transformer import UnimodalTransformer
+from omr_a2s_multimodal_transformer_tpu.parallel import mesh as M
+from omr_a2s_multimodal_transformer_tpu.training.train_state import TrainState, adam, make_train_step
+
+V, MAXLEN = 33, 8
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _setup(mesh=None):
+    model = UnimodalTransformer(vocab_size=V, max_seq_len=MAXLEN)
+    b = 8
+    batch = {
+        "x": jax.random.uniform(jax.random.PRNGKey(0), (b, 32, 48, 1)),
+        "x_hw": jnp.asarray([[32, 48]] * b, jnp.int32),
+        "y_in": jax.random.randint(jax.random.PRNGKey(1), (b, 6), 1, V),
+        "y_out": jax.random.randint(jax.random.PRNGKey(2), (b, 6), 1, V),
+    }
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(3)}, batch["x"], batch["x_hw"], batch["y_in"]
+    )
+    params = variables["params"]
+    if mesh is not None:
+        params = jax.tree.map(jax.device_put, params, M.param_shardings(params, mesh))
+        batch = M.shard_batch(batch, mesh)
+    state = TrainState.create(params, adam(1e-4))
+    step = make_train_step(model, vocab_size=V, bf16_compute=False, teacher_forcing_prob=0.0)
+    return state, batch, step
+
+
+def test_tp_rules_divisibility():
+    mesh = M.make_mesh(model=2)
+    model = UnimodalTransformer(vocab_size=V, max_seq_len=MAXLEN)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.ones((1, 32, 48, 1)), None, jnp.ones((1, 4), jnp.int32),
+    )
+    sh = M.param_shardings(variables["params"], mesh)
+    # decoder qkv kernels sharded on output dim; encoder convs replicated
+    qk = sh["decoder"]["layer0"]["self_attn"]["q_proj"]["kernel"]
+    assert qk.spec == jax.sharding.PartitionSpec(None, "model")
+    conv = sh["encoder"]["block0"]["conv1"]["kernel"]
+    assert conv.spec == jax.sharding.PartitionSpec(None, None, None, None) or conv.spec == jax.sharding.PartitionSpec()
+
+
+def test_dp_matches_single_device():
+    rng = jax.random.PRNGKey(9)
+    state1, batch1, step1 = _setup(mesh=None)
+    loss1 = step1(state1, batch1, rng)[1]
+
+    mesh = M.make_mesh(model=1)
+    state8, batch8, step8 = _setup(mesh=mesh)
+    loss8 = step8(state8, batch8, rng)[1]
+    np.testing.assert_allclose(float(loss1), float(loss8), atol=1e-5, rtol=1e-5)
+
+
+def test_dp_tp_mesh_runs():
+    mesh = M.make_mesh(model=2)  # 4x2
+    state, batch, step = _setup(mesh=mesh)
+    state, loss = step(state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(loss))
+    # params stay sharded after the update
+    qk = state.params["decoder"]["layer0"]["self_attn"]["q_proj"]["kernel"]
+    assert "model" in str(qk.sharding.spec)
+
+
+def test_shard_batch_remainder_replicates():
+    mesh = M.make_mesh(model=1)
+    batch = {"x": np.ones((3, 4), np.float32)}
+    out = M.shard_batch({"x": jnp.asarray(batch["x"])}, mesh)
+    # indivisible batch -> replicated, still usable
+    assert out["x"].shape == (3, 4)
