@@ -29,6 +29,7 @@ from flax import linen as nn
 from omr_a2s_multimodal_transformer_tpu.models.positional import positional_encoding_1d
 from omr_a2s_multimodal_transformer_tpu.ops import masks as M
 from omr_a2s_multimodal_transformer_tpu.ops.attention import attend, merge_heads, split_heads
+from omr_a2s_multimodal_transformer_tpu.ops.banded_attention import banded_causal_attention
 
 
 class MultiHeadProj(nn.Module):
@@ -82,8 +83,26 @@ class DecoderLayer(nn.Module):
     def _attn_rng(self, deterministic):
         return None if (deterministic or self.dropout == 0.0) else self.make_rng("dropout")
 
-    def __call__(self, x, memory, self_mask, mem_mask, deterministic: bool = True):
-        h = self.self_attn(x, x, self_mask, self.dropout, self._attn_rng(deterministic))
+    def __call__(
+        self,
+        x,
+        memory,
+        self_mask,
+        mem_mask,
+        deterministic: bool = True,
+        banded_window: int = 0,  # >0: compute self-attn as an exact W-band
+        self_key_bias=None,  # [B, L] additive key bias for the banded path
+    ):
+        if banded_window > 0:
+            q, k, v = self.self_attn.qkv(x, x)
+            h = banded_causal_attention(
+                q, k, v, banded_window, key_bias=self_key_bias,
+                dropout_rate=0.0 if deterministic else self.dropout,
+                dropout_rng=self._attn_rng(deterministic),
+            )
+            h = self.self_attn.out_proj(merge_heads(h))
+        else:
+            h = self.self_attn(x, x, self_mask, self.dropout, self._attn_rng(deterministic))
         x = self.norm1(x + self._drop(h, deterministic))
         h = self.cross_attn(x, memory, mem_mask, self.dropout, self._attn_rng(deterministic))
         x = self.norm2(x + self._drop(h, deterministic))
@@ -171,15 +190,31 @@ class KernDecoder(nn.Module):
         b, l = tgt_ids.shape
         x = self._drop(self._embed(tgt_ids) + self._pe()[None, :l], deterministic)
 
-        self_mask = M.windowed_causal_mask(l, self.attn_window)[None, None]
+        # Banded path: for windowed attention over long sequences, compute
+        # the W-band directly (O(L*2C) instead of O(L^2), exact — see
+        # ops/banded_attention.py). Below the threshold the full masked
+        # matrix is cheaper.
+        chunk = max(128, -(-self.attn_window // 128) * 128) if self.attn_window > 0 else 0
+        banded = self.attn_window if (self.attn_window > 0 and l > 2 * chunk) else 0
+
+        self_mask = None
+        self_key_bias = None
+        if not banded:
+            self_mask = M.windowed_causal_mask(l, self.attn_window)[None, None]
         mem_mask = None
         if memory_valid is not None:
             tgt_valid = tgt_ids != 0
-            self_mask = self_mask + M.key_padding_additive(tgt_valid, torch_float_parity=torch_float_parity)
+            pad_bias = 1.0 if torch_float_parity else M.NEG_INF
+            key_bias = jnp.where(tgt_valid, 0.0, pad_bias)
+            if banded:
+                self_key_bias = key_bias
+            else:
+                self_mask = self_mask + key_bias[:, None, None, :]
             mem_mask = M.key_padding_additive(memory_valid, torch_float_parity=torch_float_parity)
 
         for layer in self.layers:
-            x = layer(x, memory, self_mask, mem_mask, deterministic)
+            x = layer(x, memory, self_mask, mem_mask, deterministic,
+                      banded_window=banded, self_key_bias=self_key_bias)
         return self.out_layer(x)
 
     # ---------------------------------------------------------------- decode
