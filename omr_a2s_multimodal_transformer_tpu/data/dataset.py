@@ -261,7 +261,10 @@ class ARDataModule:
         synthetic_kwargs: Optional[Dict] = None,
         cache_root: Optional[str] = None,
         seed: int = 42,
+        loader_backend: str = "threads",  # "threads" | "grain"
     ) -> None:
+        assert loader_backend in ("threads", "grain")
+        self.loader_backend = loader_backend
         self.kwargs = dict(
             ds_name=ds_name,
             krn_encoding=krn_encoding,
@@ -292,15 +295,23 @@ class ARDataModule:
         if stage in ("test", "predict") and self.test_ds is None:
             self.test_ds = ARDataset(partition_type="test", **self.kwargs)
 
-    def train_dataloader(self) -> Loader:
-        return Loader(self.train_ds, self.batch_size, shuffle=True, seed=self.seed,
-                      drop_remainder=True, num_threads=self.num_workers)
+    def _make_loader(self, ds: ARDataset, batch_size: int, shuffle: bool, drop_remainder: bool):
+        if self.loader_backend == "grain":
+            from omr_a2s_multimodal_transformer_tpu.data.grain_pipeline import GrainLoader
 
-    def val_dataloader(self) -> Loader:
-        return Loader(self.val_ds, self.eval_batch_size, shuffle=False, num_threads=self.num_workers)
+            return GrainLoader(ds, batch_size, shuffle=shuffle, seed=self.seed,
+                               num_workers=self.num_workers, drop_remainder=drop_remainder)
+        return Loader(ds, batch_size, shuffle=shuffle, seed=self.seed,
+                      drop_remainder=drop_remainder, num_threads=self.num_workers)
 
-    def test_dataloader(self) -> Loader:
-        return Loader(self.test_ds, self.eval_batch_size, shuffle=False, num_threads=self.num_workers)
+    def train_dataloader(self):
+        return self._make_loader(self.train_ds, self.batch_size, shuffle=True, drop_remainder=True)
+
+    def val_dataloader(self):
+        return self._make_loader(self.val_ds, self.eval_batch_size, shuffle=False, drop_remainder=False)
+
+    def test_dataloader(self):
+        return self._make_loader(self.test_ds, self.eval_batch_size, shuffle=False, drop_remainder=False)
 
     def _any_ds(self) -> ARDataset:
         for ds in (self.train_ds, self.val_ds, self.test_ds):

@@ -78,3 +78,21 @@ def test_loader_shapes_static(tmp_path):
     loader = Loader(ds, batch_size=2, shuffle=False, num_threads=1)
     shapes = {b["x"].shape[1:] for b in loader}
     assert len(shapes) == 1  # single bucket -> one static shape
+
+
+def test_grain_loader(tmp_path):
+    pytest.importorskip("grain")
+    from omr_a2s_multimodal_transformer_tpu.data.dataset import ARDataset
+    from omr_a2s_multimodal_transformer_tpu.data.grain_pipeline import GrainLoader
+
+    ds = ARDataset(
+        "synthetic", "train", "kern", "image", synthetic=True,
+        synthetic_kwargs=dict(n=5, img_height_range=(32, 33), img_width_range=(50, 90),
+                              audio_seconds_range=(0.2, 0.3), n_measures=1),
+        cache_root=str(tmp_path),
+    )
+    gl = GrainLoader(ds, batch_size=2, shuffle=True, seed=0, num_workers=0, shard_by_process=False)
+    batches = list(gl)
+    assert sum(b["x"].shape[0] for b in batches) == 5
+    shapes = {b["x"].shape[1:] for b in batches}
+    assert len(shapes) == 1  # static bucket
