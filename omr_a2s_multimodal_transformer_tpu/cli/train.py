@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--masked_norm", action="store_true",
                    help="mask padded pixels out of instance-norm statistics")
     p.add_argument("--weights_dir", default=None, help="default: weights/<ds_name>")
+    p.add_argument("--keep_cache", action="store_true",
+                   help="keep the preprocess disk cache (reference clears it after training)")
     return p
 
 
@@ -90,6 +92,12 @@ def main(argv=None) -> None:
     print(f"Best val_sym-er: {result['best_val_sym-er']:.4f} (epoch {result['best_epoch']})")
     metrics = trainer.test(dm)
     print({k: round(v, 4) for k, v in metrics.items()})
+
+    if not args.keep_cache:
+        # free the preprocess disk cache (reference train.py:161)
+        from omr_a2s_multimodal_transformer_tpu.data.frontends import clear_cache
+
+        clear_cache()
 
 
 if __name__ == "__main__":
