@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--masked_norm", action="store_true",
                    help="mask padded pixels out of instance-norm statistics")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder blocks (less memory, bigger batches)")
     p.add_argument("--weights_dir", default=None, help="default: weights/<ds_name>")
     p.add_argument("--keep_cache", action="store_true",
                    help="keep the preprocess disk cache (reference clears it after training)")
@@ -56,6 +58,7 @@ def main(argv=None) -> None:
         "mixer_type": args.mixer_type,
         "attn_window": args.attn_window,
         "masked_norm": args.masked_norm,
+        "remat": args.remat,
         "krn_encoding": args.krn_encoding,
         "ds_name": args.ds_name,
         "use_distorted_images": args.use_distorted_images,

@@ -170,10 +170,15 @@ def _shrink_valid(valid: Optional[jnp.ndarray], stride: Tuple[int, int]) -> Opti
 
 
 class ConvStemEncoder(nn.Module):
-    """Full conv stem: [B, H, W, 1] -> [B, H/16, W/8, 256]."""
+    """Full conv stem: [B, H, W, 1] -> [B, H/16, W/8, 256].
+
+    remat=True rematerializes each block in the backward pass (activation
+    memory drops from O(sum of stage activations) to O(largest block),
+    enabling bigger batches / full-size 361x4412 score images)."""
 
     dropout: float = 0.5
     masked_norm: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -182,12 +187,15 @@ class ConvStemEncoder(nn.Module):
         deterministic: bool = True,
         valid: Optional[jnp.ndarray] = None,  # [B, H, W] bool; used when masked_norm
     ) -> jnp.ndarray:
+        # static_argnums counts self as 0 -> 2 == `deterministic`
+        conv_block = nn.remat(ConvBlock, static_argnums=(2,)) if self.remat else ConvBlock
+        dsc_block = nn.remat(DSCBlock, static_argnums=(2,)) if self.remat else DSCBlock
         v = valid if self.masked_norm else None
         for i, (ch, stride) in enumerate(CONV_STAGES):
-            x = ConvBlock(ch, stride, dropout=self.dropout, name=f"block{i}")(x, deterministic, v)
+            x = conv_block(ch, stride, dropout=self.dropout, name=f"block{i}")(x, deterministic, v)
             v = _shrink_valid(v, stride)
         for i, (ch, stride) in enumerate(DSC_STAGES):
-            xt = DSCBlock(ch, stride, dropout=self.dropout, name=f"dsc{i}")(x, deterministic, v)
+            xt = dsc_block(ch, stride, dropout=self.dropout, name=f"dsc{i}")(x, deterministic, v)
             x = x + xt if x.shape == xt.shape else xt  # residual when shapes match
             v = _shrink_valid(v, stride)
         return x

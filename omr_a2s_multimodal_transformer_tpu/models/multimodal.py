@@ -73,13 +73,14 @@ class MultimodalTransformer(nn.Module):
     decoder_dropout: float = 0.1
     pos_dropout: float = 0.1
     masked_norm: bool = False
+    remat: bool = False
     prefix_memory_mask: bool = False
     torch_float_parity: bool = False
 
     def setup(self):
         assert self.mixer_type in MIXER_TYPES, f"Invalid mixer type: {self.mixer_type}"
-        self.image_encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, name="image_encoder")
-        self.audio_encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, name="audio_encoder")
+        self.image_encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, remat=self.remat, name="image_encoder")
+        self.audio_encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, remat=self.remat, name="audio_encoder")
         self.decoder = KernDecoder(
             vocab_size=self.vocab_size,
             max_seq_len=self.max_seq_len,

@@ -72,11 +72,12 @@ class UnimodalTransformer(nn.Module):
     decoder_dropout: float = 0.1
     pos_dropout: float = 0.1
     masked_norm: bool = False
+    remat: bool = False
     prefix_memory_mask: bool = False  # reference-parity (incorrect) prefix masking
     torch_float_parity: bool = False  # reference-parity additive float pad masks
 
     def setup(self):
-        self.encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, name="encoder")
+        self.encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, remat=self.remat, name="encoder")
         self.decoder = KernDecoder(
             vocab_size=self.vocab_size,
             max_seq_len=self.max_seq_len,

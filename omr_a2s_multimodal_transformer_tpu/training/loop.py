@@ -146,13 +146,18 @@ class Trainer:
             arrays = mesh_lib.shard_batch(arrays, self.mesh)
         return arrays
 
-    def fit(self, datamodule) -> Dict[str, float]:
+    def fit(self, datamodule, auto_resume: bool = True) -> Dict[str, float]:
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
         if self.state is None:
             sample = next(iter(train_loader))
             self.init_state(sample)
+            last = os.path.join(self.weights_dir, "last")
+            if auto_resume and os.path.exists(last):
+                # crash/restart recovery: resume the latest full state
+                self.restore(last)
+                self.logger.log({"resumed_from": last, "resumed_step": int(self.state.step)}, step=int(self.state.step))
 
         host_rng = np.random.default_rng(self.seed)
         rng = jax.random.PRNGKey(self.seed + 1)
@@ -200,6 +205,7 @@ class Trainer:
                 metrics = self.evaluate(val_loader, name="val")
                 self.logger.log({"epoch": epoch, **metrics}, step=step)
                 score = metrics["val_sym-er"]
+                self.save(tag="last", extra={"val_sym-er": score, "epoch": epoch})
                 if score < best - self.min_delta:
                     best, best_epoch, bad_checks = score, epoch, 0
                     self.save(tag="best", extra={"val_sym-er": score, "epoch": epoch})
