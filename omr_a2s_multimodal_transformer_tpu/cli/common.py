@@ -28,6 +28,9 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--synthetic", action="store_true", help="use the synthetic corpus (smoke runs)")
     p.add_argument("--synthetic_config", default=None,
                    help="JSON dict of SyntheticSource kwargs (smoke runs)")
+    p.add_argument("--width_buckets", type=int, default=1,
+                   help=">1: geometric width-bucket ladder (fewer padded FLOPs, more XLA programs)")
+    p.add_argument("--loader_backend", default="threads", choices=["threads", "grain"])
 
 
 def add_runtime_args(p: argparse.ArgumentParser) -> None:
@@ -53,6 +56,8 @@ def make_datamodule(args, input_modality: str) -> ARDataModule:
         synthetic_kwargs=json.loads(args.synthetic_config) if args.synthetic_config else None,
         cache_root=args.cache_root,
         seed=args.seed,
+        loader_backend=args.loader_backend,
+        width_buckets=args.width_buckets,
     )
 
 

@@ -262,9 +262,11 @@ class ARDataModule:
         cache_root: Optional[str] = None,
         seed: int = 42,
         loader_backend: str = "threads",  # "threads" | "grain"
+        width_buckets: int = 1,  # >1: geometric width-bucket ladder
     ) -> None:
         assert loader_backend in ("threads", "grain")
         self.loader_backend = loader_backend
+        self.width_buckets = width_buckets
         self.kwargs = dict(
             ds_name=ds_name,
             krn_encoding=krn_encoding,
@@ -295,14 +297,26 @@ class ARDataModule:
         if stage in ("test", "predict") and self.test_ds is None:
             self.test_ds = ARDataset(partition_type="test", **self.kwargs)
 
+    def _buckets(self, ds: ARDataset):
+        if self.width_buckets <= 1:
+            return None, None
+        img = C.BucketSpec.geometric(ds.max_image_height, ds.max_image_width,
+                                     ds.max_seq_len + 1, self.width_buckets)
+        audio = C.BucketSpec.geometric(ds.max_audio_height, ds.max_audio_width,
+                                       ds.max_seq_len + 1, self.width_buckets)
+        return img, audio
+
     def _make_loader(self, ds: ARDataset, batch_size: int, shuffle: bool, drop_remainder: bool):
+        img_bucket, audio_bucket = self._buckets(ds)
         if self.loader_backend == "grain":
             from omr_a2s_multimodal_transformer_tpu.data.grain_pipeline import GrainLoader
 
             return GrainLoader(ds, batch_size, shuffle=shuffle, seed=self.seed,
-                               num_workers=self.num_workers, drop_remainder=drop_remainder)
+                               num_workers=self.num_workers, drop_remainder=drop_remainder,
+                               image_bucket=img_bucket, audio_bucket=audio_bucket)
         return Loader(ds, batch_size, shuffle=shuffle, seed=self.seed,
-                      drop_remainder=drop_remainder, num_threads=self.num_workers)
+                      drop_remainder=drop_remainder, num_threads=self.num_workers,
+                      image_bucket=img_bucket, audio_bucket=audio_bucket)
 
     def train_dataloader(self):
         return self._make_loader(self.train_ds, self.batch_size, shuffle=True, drop_remainder=True)

@@ -242,14 +242,20 @@ class Trainer:
         eos = self.vocab.eos_id
         y_true, y_pred = [], []
         variables = {"params": self.state.params}
+        # Keep decode outputs on device while the loop streams batches; one
+        # bulk transfer at the end so host metrics never stall the chip.
+        pending = []
         for batch in loader:
             b = self._put(batch)
             if self.multimodal:
                 tokens, _ = decode(variables, b["xi"], b["xi_hw"], b["xa"], b["xa_hw"])
             else:
                 tokens, _ = decode(variables, b["x"], b["x_hw"])
+            pending.append((tokens, batch["y_out"]))
+        for tokens, y_out in pending:
+            tokens = jax.device_get(tokens)
             pred_ids, _ = cut_at_eos(tokens, tokens, eos)
-            gt_ids, _ = cut_at_eos(batch["y_out"], batch["y_out"], eos)
+            gt_ids, _ = cut_at_eos(y_out, y_out, eos)
             # GT rows are padded with 0s; strip pads when no eos was found
             for p_row, g_row in zip(pred_ids, gt_ids):
                 g_row = [g for g in g_row if g != 0]
