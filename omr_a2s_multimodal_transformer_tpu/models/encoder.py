@@ -45,16 +45,20 @@ class MixDropout(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         if deterministic or (self.dropout_prob == 0.0 and self.dropout2d_prob == 0.0):
             return x
+        return x * self.factor(x.shape, x.dtype)
+
+    def factor(self, shape, dtype) -> jnp.ndarray:
+        """The multiplicative dropout mask (one fused multiply on x instead
+        of selecting between two x-sized dropped candidates)."""
         rng = self.make_rng("dropout")
         r_coin, r_elem, r_chan = jax.random.split(rng, 3)
         use_elem = jax.random.bernoulli(r_coin, 0.5)
-        keep_e = jax.random.bernoulli(r_elem, 1.0 - self.dropout_prob, x.shape)
-        x_elem = jnp.where(keep_e, x / (1.0 - self.dropout_prob), 0.0)
-        # channel dropout: drop whole feature maps per (sample, channel)
-        b, _, _, c = x.shape
+        keep_e = jax.random.bernoulli(r_elem, 1.0 - self.dropout_prob, shape)
+        f_elem = keep_e.astype(dtype) / (1.0 - self.dropout_prob)
+        b, c = shape[0], shape[-1]  # channel dropout: whole maps per (sample, channel)
         keep_c = jax.random.bernoulli(r_chan, 1.0 - self.dropout2d_prob, (b, 1, 1, c))
-        x_chan = jnp.where(keep_c, x / (1.0 - self.dropout2d_prob), 0.0)
-        return jnp.where(use_elem, x_elem, x_chan)
+        f_chan = keep_c.astype(dtype) / (1.0 - self.dropout2d_prob)
+        return jnp.where(use_elem, f_elem, f_chan)  # broadcasts f_chan over H, W
 
 
 class DepthSepConv(nn.Module):
@@ -86,11 +90,14 @@ class DepthSepConv(nn.Module):
 
 
 def _positioned_dropout(x: jnp.ndarray, site: int, pos: jnp.ndarray, drop: MixDropout, deterministic: bool):
-    """Apply `drop` to x only when the drawn position equals `site`."""
+    """Apply `drop` to x only when the drawn position equals `site`.
+
+    Expressed as one multiply: factor where active, 1.0 elsewhere (a select
+    between two x-sized dropped tensors would double the HBM traffic)."""
     if deterministic:
         return x
-    dropped = drop(x, deterministic=False)
-    return jnp.where(pos == site, dropped, x)
+    factor = drop.factor(x.shape, x.dtype)
+    return x * jnp.where(pos == site, factor, jnp.ones((), x.dtype))
 
 
 class ConvBlock(nn.Module):
