@@ -20,6 +20,7 @@ def build_model(hparams: Dict) -> Tuple[object, bool]:
         pos_dropout=hparams.get("pos_dropout", 0.1),
         masked_norm=hparams.get("masked_norm", False),
         remat=hparams.get("remat", False),
+        memory_partition=hparams.get("memory_partition"),
         prefix_memory_mask=hparams.get("prefix_memory_mask", False),
         torch_float_parity=hparams.get("torch_float_parity", False),
     )

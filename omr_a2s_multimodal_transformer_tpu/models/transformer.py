@@ -73,6 +73,10 @@ class UnimodalTransformer(nn.Module):
     pos_dropout: float = 0.1
     masked_norm: bool = False
     remat: bool = False
+    # Sequence parallelism: PartitionSpec entries for the flattened memory
+    # [batch, seq, feature], e.g. ('data', 'model', None) shards the 12.7k-token
+    # image memories over the model axis (requires an active Mesh context).
+    memory_partition: object = None
     prefix_memory_mask: bool = False  # reference-parity (incorrect) prefix masking
     torch_float_parity: bool = False  # reference-parity additive float pad masks
 
@@ -108,6 +112,10 @@ class UnimodalTransformer(nn.Module):
             valid = hh & ww
         feats = self.encoder(x, deterministic=deterministic, valid=valid)
         mem = self._pos_drop(add_pos2d_and_flatten(feats), deterministic)
+        if self.memory_partition is not None:
+            import jax as _jax
+            from jax.sharding import PartitionSpec as _P
+            mem = _jax.lax.with_sharding_constraint(mem, _P(*self.memory_partition))
         mem_valid = None
         if hw is not None:
             gh, gw = feats.shape[1], feats.shape[2]

@@ -146,7 +146,16 @@ class Trainer:
             arrays = mesh_lib.shard_batch(arrays, self.mesh)
         return arrays
 
+    def _mesh_ctx(self):
+        """Enter the mesh context so bare-PartitionSpec sharding constraints
+        (sequence-parallel memory, parallel/mesh.py) resolve inside jit."""
+        return self.mesh if self.mesh is not None else _nullcontext()
+
     def fit(self, datamodule, auto_resume: bool = True) -> Dict[str, float]:
+        with self._mesh_ctx():
+            return self._fit(datamodule, auto_resume)
+
+    def _fit(self, datamodule, auto_resume: bool = True) -> Dict[str, float]:
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
@@ -236,6 +245,10 @@ class Trainer:
         return self._decode
 
     def evaluate(self, loader, name: str = "val", gt_i2w: Optional[Dict[int, str]] = None) -> Dict[str, float]:
+        with self._mesh_ctx():
+            return self._evaluate(loader, name, gt_i2w)
+
+    def _evaluate(self, loader, name: str = "val", gt_i2w: Optional[Dict[int, str]] = None) -> Dict[str, float]:
         decode = self._get_decode()
         i2w = self.vocab.i2w
         gt_i2w = gt_i2w or (self.ytest_i2w if name == "test" and self.ytest_i2w else i2w)

@@ -79,3 +79,28 @@ def test_shard_batch_remainder_replicates():
     out = M.shard_batch({"x": jnp.asarray(batch["x"])}, mesh)
     # indivisible batch -> replicated, still usable
     assert out["x"].shape == (3, 4)
+
+
+def test_sequence_parallel_memory_matches_unsharded():
+    """SP: memory sharded over the model axis via with_sharding_constraint
+    must not change the loss."""
+    model_sp = UnimodalTransformer(vocab_size=V, max_seq_len=MAXLEN,
+                                   memory_partition=("data", "model", None))
+    model_ref = UnimodalTransformer(vocab_size=V, max_seq_len=MAXLEN)
+    b = 8
+    x = jax.random.uniform(jax.random.PRNGKey(0), (b, 32, 48, 1))
+    hw = jnp.asarray([[32, 48]] * b, jnp.int32)
+    y_in = jax.random.randint(jax.random.PRNGKey(1), (b, 6), 1, V)
+    y_out = jax.random.randint(jax.random.PRNGKey(2), (b, 6), 1, V)
+    variables = jax.jit(model_ref.init)({"params": jax.random.PRNGKey(3)}, x, hw, y_in)
+
+    from omr_a2s_multimodal_transformer_tpu.training.losses import cross_entropy_ignore_pad
+
+    def loss(mdl, params):
+        return cross_entropy_ignore_pad(mdl.apply(params, x, hw, y_in), y_out)
+
+    ref = float(jax.jit(lambda p: loss(model_ref, p))(variables))
+    mesh = M.make_mesh(model=2)
+    with mesh:
+        sp = float(jax.jit(lambda p: loss(model_sp, p))(variables))
+    np.testing.assert_allclose(sp, ref, rtol=1e-5, atol=1e-5)
