@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--teacher_forcing_prob", type=float, default=0.2)
     p.add_argument("--teacher_forcing_modality_prob", type=float, default=0.2)
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--decay_steps", type=int, default=0)
     p.add_argument("--masked_norm", action="store_true",
                    help="mask padded pixels out of instance-norm statistics")
     p.add_argument("--remat", action="store_true",
@@ -77,6 +79,8 @@ def main(argv=None) -> None:
         epochs=args.epochs, patience=args.patience,
         check_val_every_n_epoch=args.check_val_every_n_epoch,
         learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps,
         teacher_forcing_prob=args.teacher_forcing_prob,
         teacher_forcing_modality_prob=args.teacher_forcing_modality_prob,
         bf16_compute=not args.no_bf16, multimodal=multimodal,

@@ -49,6 +49,8 @@ class Trainer:
         min_delta: float = 0.01,
         check_val_every_n_epoch: int = 5,
         learning_rate: float = 1e-4,
+        warmup_steps: int = 0,
+        decay_steps: int = 0,
         teacher_forcing_prob: float = 0.2,
         teacher_forcing_modality_prob: float = 0.2,
         bf16_compute: bool = True,
@@ -80,7 +82,7 @@ class Trainer:
         self.logger = MetricsLogger(
             run_dir, use_wandb=use_wandb, wandb_group=wandb_group, wandb_name=wandb_name, config=hparams
         )
-        self.tx = adam(learning_rate)
+        self.tx = adam(learning_rate, warmup_steps=warmup_steps, decay_steps=decay_steps)
         self.train_step = make_train_step(
             model, vocab_size=len(vocab),
             teacher_forcing_prob=teacher_forcing_prob,

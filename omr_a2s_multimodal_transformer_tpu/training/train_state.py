@@ -40,8 +40,22 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def adam(lr: float = 1e-4) -> optax.GradientTransformation:
-    """Adam with the reference's hyperparameters (model.py:134-139)."""
+def adam(lr: float = 1e-4, warmup_steps: int = 0, decay_steps: int = 0) -> optax.GradientTransformation:
+    """Adam with the reference's hyperparameters (model.py:134-139).
+
+    Optional linear warmup + cosine decay: the post-LN decoder diverges
+    above ~1e-4 without warmup (measured: lr 1e-3 collapses to unigram
+    entropy; 1e-4 converges). Defaults (0, 0) keep the reference's constant
+    schedule.
+    """
+    if warmup_steps > 0 or decay_steps > 0:
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(decay_steps, warmup_steps + 1),
+            end_value=lr * 0.1,
+        )
+        return optax.adam(sched, b1=0.9, b2=0.999, eps=1e-8)
     return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
 
