@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 from typing import Dict, Optional
 
 from omr_a2s_multimodal_transformer_tpu.data.dataset import ARDataModule

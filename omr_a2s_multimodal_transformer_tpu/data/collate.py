@@ -13,7 +13,6 @@ Layout is NHWC (TPU-native) rather than the reference's NCHW.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -19,7 +19,6 @@ from omr_a2s_multimodal_transformer_tpu.models.encoder import (
     HEIGHT_REDUCTION,
     WIDTH_REDUCTION,
     ConvStemEncoder,
-    OUT_CHANNELS,
 )
 from omr_a2s_multimodal_transformer_tpu.models.positional import positional_encoding_2d
 from omr_a2s_multimodal_transformer_tpu.ops import masks as M

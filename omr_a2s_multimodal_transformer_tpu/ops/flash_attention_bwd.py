@@ -16,8 +16,6 @@ custom_vjp'd callable f(q, k, v, kv_len) on [B, H, L, D] tensors.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
