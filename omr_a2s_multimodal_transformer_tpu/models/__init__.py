@@ -23,6 +23,7 @@ def build_model(hparams: Dict) -> Tuple[object, bool]:
         memory_partition=hparams.get("memory_partition"),
         prefix_memory_mask=hparams.get("prefix_memory_mask", False),
         torch_float_parity=hparams.get("torch_float_parity", False),
+        cache_dtype=hparams.get("cache_dtype", "float32"),
     )
     if hparams["input_modality"] == "both":
         return (

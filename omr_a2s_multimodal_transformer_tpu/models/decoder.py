@@ -147,6 +147,10 @@ class KernDecoder(nn.Module):
     n_layers: int = 8
     dropout: float = 0.1
     attn_window: int = -1  # <=0: plain causal
+    # Storage dtype for decode-time KV caches + cross K/V. Every decode step
+    # re-reads these from HBM (the decode bandwidth floor); bfloat16 halves
+    # that traffic. float32 default keeps bit-exact full-forward equivalence.
+    cache_dtype: str = "float32"
 
     def setup(self):
         self.embedding = self.param(
@@ -218,9 +222,20 @@ class KernDecoder(nn.Module):
         return self.out_layer(x)
 
     # ---------------------------------------------------------------- decode
-    def init_cache(self, batch: int, dtype=jnp.float32) -> Dict[str, Any]:
+    @property
+    def cache_len(self) -> int:
+        """Self-attention cache length. With a window only the last W+1
+        positions are ever attended, so the cache is a ring buffer of that
+        size — each decode step then reads O(window) instead of O(max_seq_len)
+        from HBM (the decode bandwidth floor)."""
+        if self.attn_window > 0:
+            return min(self.max_seq_len, self.attn_window + 1)
+        return self.max_seq_len
+
+    def init_cache(self, batch: int, dtype=None) -> Dict[str, Any]:
+        dtype = dtype or jnp.dtype(self.cache_dtype)
         dh = self.d_model // self.n_heads
-        shape = (batch, self.max_seq_len, self.n_heads, dh)
+        shape = (batch, self.cache_len, self.n_heads, dh)
         return {
             f"layer{i}": {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for i in range(self.n_layers)
@@ -228,8 +243,11 @@ class KernDecoder(nn.Module):
 
     def prefill(self, memory: jnp.ndarray) -> Dict[str, Any]:
         """Precompute per-layer cross-attention K/V from the memory."""
+        dtype = jnp.dtype(self.cache_dtype)
         return {
-            f"layer{i}": dict(zip(("k", "v"), layer.cross_kv(memory)))
+            f"layer{i}": {
+                k: v.astype(dtype) for k, v in zip(("k", "v"), layer.cross_kv(memory))
+            }
             for i, layer in enumerate(self.layers)
         }
 
@@ -245,12 +263,21 @@ class KernDecoder(nn.Module):
         b = token_ids.shape[0]
         x = self._embed(token_ids)[:, None, :] + jax.lax.dynamic_slice_in_dim(self._pe(), pos, 1, axis=0)[None]
 
-        # Self-attention mask over cache positions [0, max_seq_len):
-        # attend to j in [max(0, pos-window), pos].
-        j = jnp.arange(self.max_seq_len)[None, None, None, :]
-        allowed = j <= pos
-        if self.attn_window > 0:
-            allowed &= j >= pos - self.attn_window
+        c_len = self.cache_len
+        if self.attn_window > 0 and c_len < self.max_seq_len:
+            # Ring buffer: slot s holds global position p_s = pos - ((pos-s) mod C),
+            # the most recent position congruent to s. Unwritten slots resolve
+            # to negative p_s and are masked.
+            write_at = jnp.mod(pos, c_len)
+            s = jnp.arange(c_len)[None, None, None, :]
+            p_s = pos - jnp.mod(pos - s, c_len)
+            allowed = (p_s >= 0) & (p_s >= pos - self.attn_window)
+        else:
+            write_at = pos
+            j = jnp.arange(c_len)[None, None, None, :]
+            allowed = j <= pos
+            if self.attn_window > 0:
+                allowed &= j >= pos - self.attn_window
         self_mask = jnp.where(allowed, 0.0, M.NEG_INF)
 
         mem_mask = None
@@ -261,6 +288,6 @@ class KernDecoder(nn.Module):
         for i, layer in enumerate(self.layers):
             c = cache[f"layer{i}"]
             cr = cross[f"layer{i}"]
-            x, ck, cv = layer.step(x, pos, c["k"], c["v"], cr["k"], cr["v"], self_mask, mem_mask)
+            x, ck, cv = layer.step(x, write_at, c["k"], c["v"], cr["k"], cr["v"], self_mask, mem_mask)
             new_cache[f"layer{i}"] = {"k": ck, "v": cv}
         return self.out_layer(x)[:, 0, :], new_cache

@@ -80,6 +80,7 @@ class MultimodalTransformer(nn.Module):
     memory_partition: object = None
     prefix_memory_mask: bool = False
     torch_float_parity: bool = False
+    cache_dtype: str = "float32"  # decode KV-cache storage (bfloat16 halves decode HBM traffic)
 
     def setup(self):
         assert self.mixer_type in MIXER_TYPES, f"Invalid mixer type: {self.mixer_type}"
@@ -90,6 +91,7 @@ class MultimodalTransformer(nn.Module):
             max_seq_len=self.max_seq_len,
             dropout=self.decoder_dropout,
             attn_window=self.attn_window,
+            cache_dtype=self.cache_dtype,
             name="decoder",
         )
         if self.mixer_type != "concat":

@@ -77,7 +77,8 @@ class UnimodalTransformer(nn.Module):
     # image memories over the model axis (requires an active Mesh context).
     memory_partition: object = None
     prefix_memory_mask: bool = False  # reference-parity (incorrect) prefix masking
-    torch_float_parity: bool = False  # reference-parity additive float pad masks
+    torch_float_parity: bool = False
+    cache_dtype: str = "float32"  # decode KV-cache storage (bfloat16 halves decode HBM traffic)
 
     def setup(self):
         self.encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, remat=self.remat, name="encoder")
@@ -86,6 +87,7 @@ class UnimodalTransformer(nn.Module):
             max_seq_len=self.max_seq_len,
             dropout=self.decoder_dropout,
             attn_window=self.attn_window,
+            cache_dtype=self.cache_dtype,
             name="decoder",
         )
 
