@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mask padded pixels out of instance-norm statistics")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder blocks (less memory, bigger batches)")
+    p.add_argument("--cache_dtype", default="bfloat16", choices=["float32", "bfloat16"],
+                   help="decode KV-cache storage dtype (bfloat16: ~2x decode throughput)")
     p.add_argument("--weights_dir", default=None, help="default: weights/<ds_name>")
     p.add_argument("--keep_cache", action="store_true",
                    help="keep the preprocess disk cache (reference clears it after training)")
@@ -61,6 +63,7 @@ def main(argv=None) -> None:
         "attn_window": args.attn_window,
         "masked_norm": args.masked_norm,
         "remat": args.remat,
+        "cache_dtype": args.cache_dtype,
         "krn_encoding": args.krn_encoding,
         "ds_name": args.ds_name,
         "use_distorted_images": args.use_distorted_images,

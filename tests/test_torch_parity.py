@@ -253,3 +253,31 @@ def test_full_unimodal_import_and_greedy_equivalence():
     # our loop stops at eos (V-1); compare the streams up to that point
     k = ref_tokens.index(V - 1) + 1 if (V - 1) in ref_tokens else MAXLEN
     assert ours[:k] == ref_tokens[:k]
+
+
+def test_torch_float_mask_parity_mode():
+    """torch adds float key-padding masks to the logits instead of masking
+    (+1.0 on pads) — the reference trains with that semantics
+    (decoder.py:186-189). torch_float_parity=True must reproduce it."""
+    tdec, _, params = _dec_pair()
+    jdec_parity = KernDecoder(vocab_size=V, max_seq_len=MAXLEN)
+    rng = np.random.default_rng(7)
+    mem = rng.uniform(-1, 1, size=(2, 12, 256)).astype(np.float32)
+    ids = rng.integers(1, V, size=(2, 6))
+    ids[0, 4:] = 0
+    mem_valid = np.ones((2, 12), bool)
+    mem_valid[1, 8:] = False
+
+    causal = tnn.Transformer.generate_square_subsequent_mask(6)
+    with torch.no_grad():
+        ref = tdec(
+            torch.tensor(ids), torch.tensor(mem), tgt_mask=causal,
+            tgt_kpm=torch.tensor((ids == 0).astype(np.float32)),      # FLOAT masks:
+            mem_kpm=torch.tensor((~mem_valid).astype(np.float32)),    # additive +1.0
+        ).numpy().transpose(0, 2, 1)
+    ours = np.asarray(
+        jax.jit(functools.partial(jdec_parity.apply, torch_float_parity=True))(
+            {"params": params["params"]}, jnp.asarray(ids), jnp.asarray(mem), jnp.asarray(mem_valid)
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
