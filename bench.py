@@ -154,6 +154,7 @@ def bench_decode(cfg) -> float:
         "max_seq_len": cfg["seq_len"],
         "input_modality": "image",
         "attn_window": cfg["attn_window"],
+        "cache_dtype": "bfloat16",  # production decode config (ring cache + bf16)
     }
     model, _ = build_model(hp)
     b = cfg["batch"]

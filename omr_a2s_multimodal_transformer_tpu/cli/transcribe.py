@@ -1,0 +1,91 @@
+"""Batch transcription CLI (serving path): score images and/or WAVs in,
+kern files out.
+
+Globs inputs from a directory, runs the on-device end-to-end pipeline
+(inference.py: frontend -> encode -> KV-cached greedy decode in one jitted
+program per bucket), and writes one reconstructed ``.krn`` per input
+(utils/mv2h.seq2kern). The reference has no serving entry point — its only
+inference paths are the metric-producing test drivers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omr_a2s_multimodal_transformer_tpu.cli import common
+from omr_a2s_multimodal_transformer_tpu.data.frontends import preprocess_audio, preprocess_image
+from omr_a2s_multimodal_transformer_tpu.data import collate as C
+from omr_a2s_multimodal_transformer_tpu.data.vocab import Vocabulary
+from omr_a2s_multimodal_transformer_tpu.training.decode import cut_at_eos, greedy_decode_fn
+from omr_a2s_multimodal_transformer_tpu.utils.mv2h import seq2kern
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--vocab_path", required=True, help="ar_w2i_*.json vocabulary file")
+    p.add_argument("--inputs", required=True, help="glob of .jpg/.png (image model) or .wav (audio model)")
+    p.add_argument("--out_dir", default="transcriptions")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--img_height", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def _load_inputs(paths, img_height):
+    from PIL import Image
+    from scipy.io import wavfile
+
+    for path in paths:
+        if path.lower().endswith((".jpg", ".jpeg", ".png")):
+            yield path, preprocess_image(Image.open(path), img_height)
+        elif path.lower().endswith(".wav"):
+            sr, wave = wavfile.read(path)
+            if wave.dtype.kind == "i":
+                wave = wave.astype(np.float32) / np.iinfo(wave.dtype).max
+            if wave.ndim == 2:
+                wave = wave.mean(axis=1)
+            yield path, preprocess_audio(wave.astype(np.float32), sr)
+        else:
+            raise ValueError(f"Unsupported input type: {path}")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    paths = sorted(glob.glob(args.inputs))
+    if not paths:
+        raise FileNotFoundError(f"No inputs match {args.inputs}")
+    vocab = Vocabulary.load(args.vocab_path)
+    model, params, hp, multimodal = common.build_from_checkpoint(args.checkpoint_path)
+    assert not multimodal, "transcribe drives unimodal checkpoints (image or audio)"
+
+    decode = jax.jit(greedy_decode_fn(model, model.max_seq_len, vocab.sos_id, vocab.eos_id))
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    items = list(_load_inputs(paths, args.img_height))
+    n_done = 0
+    for i in range(0, len(items), args.batch_size):
+        chunk = items[i : i + args.batch_size]
+        hmax = max(x.shape[1] for _, x in chunk)
+        wmax = max(x.shape[2] for _, x in chunk)
+        pad = C.IMAGE_PAD_VALUE if paths[0].lower().endswith((".jpg", ".jpeg", ".png")) else C.AUDIO_PAD_VALUE
+        batch = np.stack([C.pad_input(x, C.round_up(hmax, 16), C.round_up(wmax, 8), pad) for _, x in chunk])
+        hw = np.asarray([[x.shape[1], x.shape[2]] for _, x in chunk], np.int32)
+        tokens, _ = decode({"params": params}, jnp.asarray(batch), jnp.asarray(hw))
+        rows, _ = cut_at_eos(tokens, tokens, vocab.eos_id)
+        for (path, _), row in zip(chunk, rows):
+            toks = vocab.tokens(row, strip_special=True)
+            out = os.path.join(args.out_dir, os.path.splitext(os.path.basename(path))[0] + ".krn")
+            seq2kern(toks, out)
+            n_done += 1
+    print(f"Transcribed {n_done} inputs -> {args.out_dir}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -126,3 +126,31 @@ def test_test_cli_cross_domain(workspace, unimodal_ckpts, capsys):
     ])
     out = capsys.readouterr().out
     assert "test_sym-er" in out
+
+
+def test_transcribe_cli(workspace, unimodal_ckpts, tmp_path, capsys):
+    """Serving path: raw image files -> .krn transcriptions."""
+    tmp, cache = workspace
+    img_ckpt, _ = unimodal_ckpts
+    # write a couple of synthetic score images to disk
+    from omr_a2s_multimodal_transformer_tpu.data.sources import SyntheticSource
+
+    src = SyntheticSource(n=2, seed=1, img_height_range=(32, 33), img_width_range=(64, 96),
+                          audio_seconds_range=(0.3, 0.5), n_measures=1)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        src[i]["image"].save(str(img_dir / f"score{i}.png"))
+
+    from omr_a2s_multimodal_transformer_tpu.cli import transcribe
+
+    vocab_path = os.path.join(cache, "vocabs", "ar_w2i_kern.json")
+    out_dir = str(tmp_path / "out")
+    transcribe.main([
+        "--checkpoint_path", img_ckpt, "--vocab_path", vocab_path,
+        "--inputs", str(img_dir / "*.png"), "--out_dir", out_dir,
+    ])
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["score0.krn", "score1.krn"]
+    content = open(os.path.join(out_dir, "score0.krn")).read()
+    assert content.startswith("**kern")
