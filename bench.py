@@ -38,6 +38,7 @@ def bench_jax(cfg) -> float:
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_default_prng_impl", "rbg")  # +30% step (threefry dropout cost)
 
     from omr_a2s_multimodal_transformer_tpu.models import build_model
     from omr_a2s_multimodal_transformer_tpu.training.train_state import TrainState, adam, make_train_step

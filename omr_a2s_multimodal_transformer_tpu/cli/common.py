@@ -38,6 +38,8 @@ def add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mesh_model", type=int, default=1, help="tensor-parallel mesh axis size")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--run_dir", default=None)
+    p.add_argument("--threefry_prng", action="store_true",
+                   help="use threefry instead of the faster rbg PRNG")
 
 
 def make_datamodule(args, input_modality: str) -> ARDataModule:
@@ -96,6 +98,17 @@ def make_mesh_if_needed(args):
 
 def init_cli(args) -> None:
     seed_everything(args.seed)
+    import jax
+
+    # Persistent compile cache (first compile of the big train step is
+    # minutes; subsequent runs hit the cache).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser(os.environ.get("JAX_COMPILATION_CACHE", "~/.cache/jax_comp_cache")))
+    if not getattr(args, "threefry_prng", False):
+        # rbg PRNG: hardware RngBitGenerator instead of threefry — measured
+        # +30% train-step throughput (dropout mask generation dominates
+        # threefry's int-op cost on the VPU).
+        jax.config.update("jax_default_prng_impl", "rbg")
 
 
 def dump_args(args) -> Dict:
