@@ -5,6 +5,7 @@ eval batch size, synthetic corpus for smoke runs)."""
 from __future__ import annotations
 
 import argparse
+import os
 import json
 from typing import Dict, Optional
 
