@@ -138,17 +138,26 @@ def cut_at_eos(tokens, scores, eos_id: int) -> Tuple[list, list]:
 
 
 def beam_decode_fn(model, max_len: int, sos_id: int, eos_id: int, beam_size: int = 4,
-                   length_penalty: float = 0.0) -> Callable:
-    """Batched beam search over the KV-cached decoder (unimodal models).
+                   length_penalty: float = 0.0, multimodal: bool = False) -> Callable:
+    """Batched beam search over the KV-cached decoder.
 
-    f(params, x, hw) -> (tokens [B, max_len], scores [B]) for the best beam.
+    Unimodal:   f(params, x, hw) -> (tokens [B, max_len], scores [B]).
+    Multimodal: f(params, xi, xi_hw, xa, xa_hw) -> same.
     Finished beams are frozen (forced eos continuation with zero added
     logprob). Length penalty: score / ((5+len)/6)^lp (GNMT).
     """
 
-    def decode(params, x, hw):
-        b = x.shape[0]
-        cross, mem_valid = model.apply(params, x, hw, method=type(model).decode_prefill)
+    def decode(params, *inputs):
+        if multimodal:
+            xi, xi_hw, xa, xa_hw = inputs
+            b = xi.shape[0]
+            cross, mem_valid = model.apply(
+                params, xi, xa, xi_hw, xa_hw, method=type(model).decode_prefill
+            )
+        else:
+            x, hw = inputs
+            b = x.shape[0]
+            cross, mem_valid = model.apply(params, x, hw, method=type(model).decode_prefill)
         k = beam_size
 
         def expand(t):  # [B, ...] -> [B*k, ...] tile along new beam dim

@@ -79,3 +79,20 @@ def test_beam_logprob_not_worse_than_greedy():
     _, s4 = beam4(params, x, None)
     _, s1 = beam1(params, x, None)
     assert (np.asarray(s4) >= np.asarray(s1) - 1e-4).all()
+
+
+def test_beam_multimodal_runs():
+    from omr_a2s_multimodal_transformer_tpu.models.multimodal import MultimodalTransformer
+
+    m = MultimodalTransformer(vocab_size=V, max_seq_len=MAXLEN, mixer_type="concat")
+    xi = jnp.ones((2, 32, 48, 1))
+    xa = jnp.ones((2, 16, 24, 1))
+    xi_hw = jnp.asarray([[32, 48]] * 2, jnp.int32)
+    xa_hw = jnp.asarray([[16, 24]] * 2, jnp.int32)
+    params = jax.jit(m.init)(
+        {"params": jax.random.PRNGKey(0)}, xi, xi_hw, xa, xa_hw, jnp.ones((2, 4), jnp.int32)
+    )
+    beam = jax.jit(beam_decode_fn(m, MAXLEN, 1, V - 1, beam_size=2, multimodal=True))
+    tokens, scores = beam(params, xi, xi_hw, xa, xa_hw)
+    assert np.asarray(tokens).shape == (2, MAXLEN)
+    assert np.isfinite(np.asarray(scores)).all()
