@@ -17,6 +17,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_path", required=True)
     p.add_argument("--input_modality", default="audio", choices=["audio", "image", "both"])
     p.add_argument("--compute_mv2h", action="store_true")
+    p.add_argument("--beam_size", type=int, default=1, help=">1: beam search instead of greedy")
     return p
 
 
@@ -41,6 +42,7 @@ def main(argv=None) -> None:
         mesh=common.make_mesh_if_needed(args),
         use_wandb=args.use_wandb, seed=args.seed,
         ytest_i2w=ytest_i2w, compute_mv2h=args.compute_mv2h,
+        beam_size=args.beam_size,
     )
     trainer.restore(args.checkpoint_path)
     metrics = trainer.test(dm)

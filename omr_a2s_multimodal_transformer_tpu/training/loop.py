@@ -63,6 +63,7 @@ class Trainer:
         ytest_i2w: Optional[Dict[int, str]] = None,
         compute_mv2h: bool = False,
         profile_first_epoch: bool = False,
+        beam_size: int = 1,  # >1: beam search at eval (TPU extra; reference is greedy-only)
     ):
         self.model = model
         self.vocab = vocab
@@ -79,6 +80,7 @@ class Trainer:
         self.compute_mv2h = compute_mv2h
         self.ytest_i2w = ytest_i2w  # cross-domain eval: GT decoded in test vocab
         self.profile_first_epoch = profile_first_epoch
+        self.beam_size = beam_size
         self.logger = MetricsLogger(
             run_dir, use_wandb=use_wandb, wandb_group=wandb_group, wandb_name=wandb_name, config=hparams
         )
@@ -235,15 +237,26 @@ class Trainer:
     # ------------------------------------------------------------------- eval
     def _get_decode(self):
         if self._decode is None:
-            self._decode = jax.jit(
-                greedy_decode_fn(
-                    self.model,
-                    max_len=self.model.max_seq_len,
-                    sos_id=self.vocab.sos_id,
-                    eos_id=self.vocab.eos_id,
-                    multimodal=self.multimodal,
+            if self.beam_size > 1:
+                from omr_a2s_multimodal_transformer_tpu.training.decode import beam_decode_fn
+
+                self._decode = jax.jit(
+                    beam_decode_fn(
+                        self.model, max_len=self.model.max_seq_len,
+                        sos_id=self.vocab.sos_id, eos_id=self.vocab.eos_id,
+                        beam_size=self.beam_size, multimodal=self.multimodal,
+                    )
                 )
-            )
+            else:
+                self._decode = jax.jit(
+                    greedy_decode_fn(
+                        self.model,
+                        max_len=self.model.max_seq_len,
+                        sos_id=self.vocab.sos_id,
+                        eos_id=self.vocab.eos_id,
+                        multimodal=self.multimodal,
+                    )
+                )
         return self._decode
 
     def evaluate(self, loader, name: str = "val", gt_i2w: Optional[Dict[int, str]] = None) -> Dict[str, float]:
