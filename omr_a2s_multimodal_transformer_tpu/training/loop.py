@@ -114,6 +114,11 @@ class Trainer:
             shardings = mesh_lib.param_shardings(params, self.mesh)
             params = jax.tree.map(jax.device_put, params, shardings)
         self.state = TrainState.create(params, self.tx)
+        # model summary (the reference prints torchinfo tables at init)
+        n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+        per_top = {k: sum(int(np.prod(x.shape)) for x in jax.tree.leaves(v)) for k, v in params.items()}
+        self.logger.log({"trainable_params": n_params, **{f"params_{k}": v for k, v in per_top.items()}},
+                        step=0, quiet=False)
         return self.state
 
     def restore(self, path: str) -> None:

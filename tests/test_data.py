@@ -96,3 +96,19 @@ def test_grain_loader(tmp_path):
     assert sum(b["x"].shape[0] for b in batches) == 5
     shapes = {b["x"].shape[1:] for b in batches}
     assert len(shapes) == 1  # static bucket
+
+
+def test_geometric_bucket_ladder(tmp_path):
+    from omr_a2s_multimodal_transformer_tpu.data.dataset import ARDataset, Loader
+
+    ds = ARDataset(
+        "synthetic", "train", "kern", "image", synthetic=True,
+        synthetic_kwargs=dict(n=6, img_height_range=(32, 33), img_width_range=(40, 160),
+                              audio_seconds_range=(0.2, 0.3), n_measures=1),
+        cache_root=str(tmp_path),
+    )
+    spec = C.BucketSpec.geometric(ds.max_image_height, ds.max_image_width, ds.max_seq_len + 1, 3)
+    loader = Loader(ds, batch_size=2, shuffle=False, num_threads=1, image_bucket=spec)
+    widths = sorted({b["x"].shape[2] for b in loader})
+    assert all(w in spec.widths for w in widths)
+    assert len(spec.widths) >= 2  # a real ladder, not a single bucket
