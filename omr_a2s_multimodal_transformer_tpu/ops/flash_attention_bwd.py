@@ -54,7 +54,7 @@ def _mask(qi, k_block, block_q, block_k, kv_limit, causal, window):
 # --------------------------------------------------------------------- fwd
 
 
-def _fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s,
+def _fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, kv_mask_ref, o_ref, lse_ref, m_s, l_s, acc_s,
                 *, block_q, block_k, window, causal, scale, batch, n_k_blocks, windowed):
     bh, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     b = bh // (pl.num_programs(0) // batch)
@@ -80,7 +80,9 @@ def _fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s
         q = q_ref[0].astype(jnp.float32)
         k = k_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        s = jnp.where(_mask(qi, k_block, block_q, block_k, kv_len_ref[b], causal, window), s, NEG_INF)
+        mask = _mask(qi, k_block, block_q, block_k, kv_len_ref[b], causal, window)
+        mask &= kv_mask_ref[0][None, :] > 0
+        s = jnp.where(mask, s, NEG_INF)
         m_prev = m_s[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -104,7 +106,7 @@ def _fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s
 # ---------------------------------------------------------------------- dq
 
 
-def _dq_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_s,
+def _dq_kernel(kv_len_ref, q_ref, k_ref, v_ref, kv_mask_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_s,
                *, block_q, block_k, window, causal, scale, batch, n_k_blocks, windowed):
     bh, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     b = bh // (pl.num_programs(0) // batch)
@@ -131,6 +133,7 @@ def _dq_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_r
         do = do_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         mask = _mask(qi, k_block, block_q, block_k, kv_len_ref[b], causal, window)
+        mask &= kv_mask_ref[0][None, :] > 0
         p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0][:, :1]) * scale
@@ -144,7 +147,7 @@ def _dq_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_r
 # ------------------------------------------------------------------- dk/dv
 
 
-def _dkv_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+def _dkv_kernel(kv_len_ref, q_ref, k_ref, v_ref, kv_mask_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
                 dk_s, dv_s,
                 *, block_q, block_k, window, causal, scale, batch, n_q_blocks, windowed):
     bh, ki, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -173,6 +176,7 @@ def _dkv_kernel(kv_len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_
         do = do_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         mask = _mask(q_block, ki, block_q, block_k, kv_len_ref[b], causal, window)
+        mask &= kv_mask_ref[0][None, :] > 0
         p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
         dv_s[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -195,11 +199,14 @@ def make_flash_attention(
     block_k: int = 512,
     interpret: bool = False,
 ):
-    """Build a differentiable flash attention f(q, k, v, kv_len) -> o.
+    """Build a differentiable flash attention f(q, k, v, kv_len, kv_valid) -> o.
 
-    q: [B, H, Lq, D]; k, v: [B, H, Lk, D]; kv_len: [B] int32 (or None via
-    a full-length array). Static config is baked in so jit caches one
-    program per configuration.
+    q: [B, H, Lq, D]; k, v: [B, H, Lk, D]; kv_len: [B] int32 prefix lengths
+    (pass jnp.full((B,), Lk) for no length mask); kv_valid: [B, Lk] bool
+    per-position key validity (pass jnp.ones((B, Lk), bool) for none) — this
+    covers non-prefix masks like the concat mixer's fused image+audio
+    memories. Static config is baked in so jit caches one program per
+    configuration.
     """
 
     windowed = causal and window > 0
@@ -219,8 +226,12 @@ def make_flash_attention(
         dop = pad3(do, lq_p).reshape(b * h, lq_p, d_p) if do is not None else None
         return qp, kp, vp, dop, (b, h, lq, lk, d, bq, bk, d_p, lq_p, lk_p)
 
-    def _fwd_impl(q, k, v, kv_len):
+    def _prep_mask(kv_valid, b, lk, lk_p):
+        return jnp.pad(kv_valid.astype(jnp.int8), ((0, 0), (0, lk_p - lk)))
+
+    def _fwd_impl(q, k, v, kv_len, kv_valid):
         qp, kp, vp, _, (b, h, lq, lk, d, bq, bk, d_p, lq_p, lk_p) = _prep(q, k, v)
+        maskp = _prep_mask(kv_valid, b, lk, lk_p)
         scale = 1.0 / (d ** 0.5)
         n_k_blocks = lk_p // bk
         nkv = _window_blocks(window, bq, bk, n_k_blocks, causal)
@@ -230,6 +241,10 @@ def make_flash_attention(
                 lo = jnp.maximum(qi * bq - window, 0) // bk
                 return (bh, jnp.minimum(lo + ki, n_k_blocks - 1), 0)
             return (bh, ki, 0)
+
+        def m_index(bh, qi, ki, kv):
+            kb = k_index(bh, qi, ki, kv)[1]
+            return (bh // h, kb)
 
         o, lse = pl.pallas_call(
             functools.partial(_fwd_kernel, block_q=bq, block_k=bk, window=window, causal=causal,
@@ -241,6 +256,7 @@ def make_flash_attention(
                     pl.BlockSpec((1, bq, d_p), lambda bh, qi, ki, kv: (bh, qi, 0)),
                     pl.BlockSpec((1, bk, d_p), k_index),
                     pl.BlockSpec((1, bk, d_p), k_index),
+                    pl.BlockSpec((1, bk), m_index),
                 ],
                 out_specs=[
                     pl.BlockSpec((1, bq, d_p), lambda bh, qi, ki, kv: (bh, qi, 0)),
@@ -259,18 +275,18 @@ def make_flash_attention(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=interpret,
-        )(kv_len.astype(jnp.int32), qp, kp, vp)
+        )(kv_len.astype(jnp.int32), qp, kp, vp, maskp)
         out = o.reshape(b, h, lq_p, d_p)[:, :, :lq, :d]
         return out, (lse[:, :, 0],)  # [BH, Lq_p]
 
     # o is saved as a residual (cheap: same size as q); delta = rowsum(do*o)
     # is computed on the XLA side in the backward rule.
-    def _fwd_rule(q, k, v, kv_len):
-        out, (lse,) = _fwd_impl(q, k, v, kv_len)
-        return out, (q, k, v, kv_len, lse, out)
+    def _fwd_rule(q, k, v, kv_len, kv_valid):
+        out, (lse,) = _fwd_impl(q, k, v, kv_len, kv_valid)
+        return out, (q, k, v, kv_len, kv_valid, lse, out)
 
     def _bwd_rule(res, do):
-        q, k, v, kv_len, lse, o = res
+        q, k, v, kv_len, kv_valid, lse, o = res
         b, h, lq, d = q.shape
         lk = k.shape[2]
         bq = min(block_q, _round_up(lq, 128))
@@ -296,12 +312,16 @@ def make_flash_attention(
         kp = pad3(k, lk_p).reshape(b * h, lk_p, d_p)
         vp = pad3(v, lk_p).reshape(b * h, lk_p, d_p)
         dop = pad3(do, lq_p).reshape(b * h, lq_p, d_p)
+        maskp = _prep_mask(kv_valid, b, lk, lk_p)
 
         def k_index(bh, qi, ki, kv):
             if windowed:
                 lo = jnp.maximum(qi * bq - window, 0) // bk
                 return (bh, jnp.minimum(lo + ki, n_k_blocks - 1), 0)
             return (bh, ki, 0)
+
+        def m_index_q(bh, qi, ki, kv):
+            return (bh // h, k_index(bh, qi, ki, kv)[1])
 
         q_at = lambda bh, qi, ki, kv: (bh, qi, 0)
         dq = pl.pallas_call(
@@ -314,6 +334,7 @@ def make_flash_attention(
                     pl.BlockSpec((1, bq, d_p), q_at),
                     pl.BlockSpec((1, bk, d_p), k_index),
                     pl.BlockSpec((1, bk, d_p), k_index),
+                    pl.BlockSpec((1, bk), m_index_q),
                     pl.BlockSpec((1, bq, d_p), q_at),
                     pl.BlockSpec((1, bq, 128), q_at),
                     pl.BlockSpec((1, bq, 128), q_at),
@@ -325,7 +346,7 @@ def make_flash_attention(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=interpret,
-        )(kv_len.astype(jnp.int32), qp, kp, vp, dop, lse128, delta128)
+        )(kv_len.astype(jnp.int32), qp, kp, vp, maskp, dop, lse128, delta128)
 
         def q_index(bh, ki, qi, kv):
             if windowed:
@@ -334,6 +355,7 @@ def make_flash_attention(
             return (bh, qi, 0)
 
         k_at = lambda bh, ki, qi, kv: (bh, ki, 0)
+        m_at = lambda bh, ki, qi, kv: (bh // h, ki)
         dk, dv = pl.pallas_call(
             functools.partial(_dkv_kernel, block_q=bq, block_k=bk, window=window, causal=causal,
                               scale=scale, batch=b, n_q_blocks=n_q_blocks, windowed=windowed),
@@ -344,6 +366,7 @@ def make_flash_attention(
                     pl.BlockSpec((1, bq, d_p), q_index),
                     pl.BlockSpec((1, bk, d_p), k_at),
                     pl.BlockSpec((1, bk, d_p), k_at),
+                    pl.BlockSpec((1, bk), m_at),
                     pl.BlockSpec((1, bq, d_p), q_index),
                     pl.BlockSpec((1, bq, 128), q_index),
                     pl.BlockSpec((1, bq, 128), q_index),
@@ -364,17 +387,18 @@ def make_flash_attention(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=interpret,
-        )(kv_len.astype(jnp.int32), qp, kp, vp, dop, lse128, delta128)
+        )(kv_len.astype(jnp.int32), qp, kp, vp, maskp, dop, lse128, delta128)
 
         dq = dq.reshape(b, h, lq_p, d_p)[:, :, :lq, :d]
         dk = dk.reshape(b, h, lk_p, d_p)[:, :, :lk, :d]
         dv = dv.reshape(b, h, lk_p, d_p)[:, :, :lk, :d]
-        dkv_len = np.zeros((), dtype=jax.dtypes.float0) if kv_len.ndim == 0 else np.zeros(kv_len.shape, dtype=jax.dtypes.float0)
-        return dq, dk, dv, dkv_len
+        dkv_len = np.zeros(kv_len.shape, dtype=jax.dtypes.float0)
+        dkv_valid = np.zeros(kv_valid.shape, dtype=jax.dtypes.float0)
+        return dq, dk, dv, dkv_len, dkv_valid
 
     @jax.custom_vjp
-    def flash(q, k, v, kv_len):
-        out, _ = _fwd_impl(q, k, v, kv_len)
+    def flash(q, k, v, kv_len, kv_valid):
+        out, _ = _fwd_impl(q, k, v, kv_len, kv_valid)
         return out
 
     flash.defvjp(_fwd_rule, _bwd_rule)
