@@ -24,6 +24,7 @@ def build_model(hparams: Dict) -> Tuple[object, bool]:
         prefix_memory_mask=hparams.get("prefix_memory_mask", False),
         torch_float_parity=hparams.get("torch_float_parity", False),
         cache_dtype=hparams.get("cache_dtype", "float32"),
+        use_flash_cross=hparams.get("use_flash_cross", False),
     )
     if hparams["input_modality"] == "both":
         return (

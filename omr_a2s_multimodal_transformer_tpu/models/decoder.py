@@ -64,6 +64,11 @@ class DecoderLayer(nn.Module):
     n_heads: int = 4
     ff_dim: int = 256
     dropout: float = 0.1
+    # Flash cross-attention for the full-sequence (training) forward: avoids
+    # materializing [L, S] logits against very wide memories (the max
+    # GRANDSTAFF config has 14.3k-token fused memories -> ~580MB f32 per
+    # layer). No attention-weight dropout on this path.
+    use_flash_cross: bool = False
 
     def setup(self):
         self.self_attn = MultiHeadProj(self.d_model, self.n_heads, name="self_attn")
@@ -92,6 +97,7 @@ class DecoderLayer(nn.Module):
         deterministic: bool = True,
         banded_window: int = 0,  # >0: compute self-attn as an exact W-band
         self_key_bias=None,  # [B, L] additive key bias for the banded path
+        memory_valid=None,  # [B, S] bool (flash cross-attention path)
     ):
         if banded_window > 0:
             q, k, v = self.self_attn.qkv(x, x)
@@ -104,7 +110,18 @@ class DecoderLayer(nn.Module):
         else:
             h = self.self_attn(x, x, self_mask, self.dropout, self._attn_rng(deterministic))
         x = self.norm1(x + self._drop(h, deterministic))
-        h = self.cross_attn(x, memory, mem_mask, self.dropout, self._attn_rng(deterministic))
+        if self.use_flash_cross:
+            from omr_a2s_multimodal_transformer_tpu.ops.flash_attention_bwd import flash_attention_cached
+
+            q, k, v = self.cross_attn.qkv(x, memory)  # [B, L, H, Dh]
+            qt, kt, vt = (jnp.transpose(t, (0, 2, 1, 3)) for t in (q, k, v))
+            b, s = memory.shape[0], memory.shape[1]
+            kv_len = jnp.full((b,), s, jnp.int32)
+            kv_valid = memory_valid if memory_valid is not None else jnp.ones((b, s), bool)
+            h = flash_attention_cached()(qt, kt, vt, kv_len, kv_valid)
+            h = self.cross_attn.out_proj(merge_heads(jnp.transpose(h, (0, 2, 1, 3))))
+        else:
+            h = self.cross_attn(x, memory, mem_mask, self.dropout, self._attn_rng(deterministic))
         x = self.norm2(x + self._drop(h, deterministic))
         h = self.linear2(self._drop(nn.relu(self.linear1(x)), deterministic))
         x = self.norm3(x + self._drop(h, deterministic))
@@ -151,13 +168,18 @@ class KernDecoder(nn.Module):
     # re-reads these from HBM (the decode bandwidth floor); bfloat16 halves
     # that traffic. float32 default keeps bit-exact full-forward equivalence.
     cache_dtype: str = "float32"
+    # Flash cross-attention in the full-sequence forward (training): avoids
+    # [L, S] logits against wide memories. Implies -inf pad semantics (not
+    # compatible with torch_float_parity) and no attention-weight dropout.
+    use_flash_cross: bool = False
 
     def setup(self):
         self.embedding = self.param(
             "embedding", nn.initializers.normal(1.0), (self.vocab_size, self.d_model)
         )
         self.layers = [
-            DecoderLayer(self.d_model, self.n_heads, self.ff_dim, self.dropout, name=f"layer{i}")
+            DecoderLayer(self.d_model, self.n_heads, self.ff_dim, self.dropout,
+                         use_flash_cross=self.use_flash_cross, name=f"layer{i}")
             for i in range(self.n_layers)
         ]
         self.out_layer = nn.Dense(self.vocab_size, name="out_layer")
@@ -216,9 +238,12 @@ class KernDecoder(nn.Module):
                 self_mask = self_mask + key_bias[:, None, None, :]
             mem_mask = M.key_padding_additive(memory_valid, torch_float_parity=torch_float_parity)
 
+        if self.use_flash_cross:
+            assert not torch_float_parity, "flash cross-attention implies -inf pad masking"
         for layer in self.layers:
             x = layer(x, memory, self_mask, mem_mask, deterministic,
-                      banded_window=banded, self_key_bias=self_key_bias)
+                      banded_window=banded, self_key_bias=self_key_bias,
+                      memory_valid=memory_valid if self.use_flash_cross else None)
         return self.out_layer(x)
 
     # ---------------------------------------------------------------- decode

@@ -81,6 +81,7 @@ class MultimodalTransformer(nn.Module):
     prefix_memory_mask: bool = False
     torch_float_parity: bool = False
     cache_dtype: str = "float32"  # decode KV-cache storage (bfloat16 halves decode HBM traffic)
+    use_flash_cross: bool = False  # Pallas flash cross-attention in training (wide memories)
 
     def setup(self):
         assert self.mixer_type in MIXER_TYPES, f"Invalid mixer type: {self.mixer_type}"
@@ -92,6 +93,7 @@ class MultimodalTransformer(nn.Module):
             dropout=self.decoder_dropout,
             attn_window=self.attn_window,
             cache_dtype=self.cache_dtype,
+            use_flash_cross=self.use_flash_cross,
             name="decoder",
         )
         if self.mixer_type != "concat":

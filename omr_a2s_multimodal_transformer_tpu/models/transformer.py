@@ -79,6 +79,7 @@ class UnimodalTransformer(nn.Module):
     prefix_memory_mask: bool = False  # reference-parity (incorrect) prefix masking
     torch_float_parity: bool = False
     cache_dtype: str = "float32"  # decode KV-cache storage (bfloat16 halves decode HBM traffic)
+    use_flash_cross: bool = False  # Pallas flash cross-attention in training (wide memories)
 
     def setup(self):
         self.encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, remat=self.remat, name="encoder")
@@ -88,6 +89,7 @@ class UnimodalTransformer(nn.Module):
             dropout=self.decoder_dropout,
             attn_window=self.attn_window,
             cache_dtype=self.cache_dtype,
+            use_flash_cross=self.use_flash_cross,
             name="decoder",
         )
 

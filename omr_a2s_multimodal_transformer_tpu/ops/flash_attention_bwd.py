@@ -81,7 +81,7 @@ def _fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, kv_mask_ref, o_ref, lse_ref, m_
         k = k_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         mask = _mask(qi, k_block, block_q, block_k, kv_len_ref[b], causal, window)
-        mask &= kv_mask_ref[0][None, :] > 0
+        mask &= kv_mask_ref[0, 0][None, :] > 0
         s = jnp.where(mask, s, NEG_INF)
         m_prev = m_s[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -133,7 +133,7 @@ def _dq_kernel(kv_len_ref, q_ref, k_ref, v_ref, kv_mask_ref, do_ref, lse_ref, de
         do = do_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         mask = _mask(qi, k_block, block_q, block_k, kv_len_ref[b], causal, window)
-        mask &= kv_mask_ref[0][None, :] > 0
+        mask &= kv_mask_ref[0, 0][None, :] > 0
         p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0][:, :1]) * scale
@@ -176,7 +176,7 @@ def _dkv_kernel(kv_len_ref, q_ref, k_ref, v_ref, kv_mask_ref, do_ref, lse_ref, d
         do = do_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         mask = _mask(q_block, ki, block_q, block_k, kv_len_ref[b], causal, window)
-        mask &= kv_mask_ref[0][None, :] > 0
+        mask &= kv_mask_ref[0, 0][None, :] > 0
         p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
         dv_s[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -227,7 +227,8 @@ def make_flash_attention(
         return qp, kp, vp, dop, (b, h, lq, lk, d, bq, bk, d_p, lq_p, lk_p)
 
     def _prep_mask(kv_valid, b, lk, lk_p):
-        return jnp.pad(kv_valid.astype(jnp.int8), ((0, 0), (0, lk_p - lk)))
+        # [B, 1, lk_p] so the (1, block_k) tile satisfies TPU tiling rules
+        return jnp.pad(kv_valid.astype(jnp.int8), ((0, 0), (0, lk_p - lk)))[:, None, :]
 
     def _fwd_impl(q, k, v, kv_len, kv_valid):
         qp, kp, vp, _, (b, h, lq, lk, d, bq, bk, d_p, lq_p, lk_p) = _prep(q, k, v)
@@ -244,7 +245,7 @@ def make_flash_attention(
 
         def m_index(bh, qi, ki, kv):
             kb = k_index(bh, qi, ki, kv)[1]
-            return (bh // h, kb)
+            return (bh // h, 0, kb)
 
         o, lse = pl.pallas_call(
             functools.partial(_fwd_kernel, block_q=bq, block_k=bk, window=window, causal=causal,
@@ -256,7 +257,7 @@ def make_flash_attention(
                     pl.BlockSpec((1, bq, d_p), lambda bh, qi, ki, kv: (bh, qi, 0)),
                     pl.BlockSpec((1, bk, d_p), k_index),
                     pl.BlockSpec((1, bk, d_p), k_index),
-                    pl.BlockSpec((1, bk), m_index),
+                    pl.BlockSpec((1, 1, bk), m_index),
                 ],
                 out_specs=[
                     pl.BlockSpec((1, bq, d_p), lambda bh, qi, ki, kv: (bh, qi, 0)),
@@ -321,7 +322,7 @@ def make_flash_attention(
             return (bh, ki, 0)
 
         def m_index_q(bh, qi, ki, kv):
-            return (bh // h, k_index(bh, qi, ki, kv)[1])
+            return (bh // h, 0, k_index(bh, qi, ki, kv)[1])
 
         q_at = lambda bh, qi, ki, kv: (bh, qi, 0)
         dq = pl.pallas_call(
@@ -334,7 +335,7 @@ def make_flash_attention(
                     pl.BlockSpec((1, bq, d_p), q_at),
                     pl.BlockSpec((1, bk, d_p), k_index),
                     pl.BlockSpec((1, bk, d_p), k_index),
-                    pl.BlockSpec((1, bk), m_index_q),
+                    pl.BlockSpec((1, 1, bk), m_index_q),
                     pl.BlockSpec((1, bq, d_p), q_at),
                     pl.BlockSpec((1, bq, 128), q_at),
                     pl.BlockSpec((1, bq, 128), q_at),
@@ -355,7 +356,7 @@ def make_flash_attention(
             return (bh, qi, 0)
 
         k_at = lambda bh, ki, qi, kv: (bh, ki, 0)
-        m_at = lambda bh, ki, qi, kv: (bh // h, ki)
+        m_at = lambda bh, ki, qi, kv: (bh // h, 0, ki)
         dk, dv = pl.pallas_call(
             functools.partial(_dkv_kernel, block_q=bq, block_k=bk, window=window, causal=causal,
                               scale=scale, batch=b, n_q_blocks=n_q_blocks, windowed=windowed),
@@ -366,7 +367,7 @@ def make_flash_attention(
                     pl.BlockSpec((1, bq, d_p), q_index),
                     pl.BlockSpec((1, bk, d_p), k_at),
                     pl.BlockSpec((1, bk, d_p), k_at),
-                    pl.BlockSpec((1, bk), m_at),
+                    pl.BlockSpec((1, 1, bk), m_at),
                     pl.BlockSpec((1, bq, d_p), q_index),
                     pl.BlockSpec((1, bq, 128), q_index),
                     pl.BlockSpec((1, bq, 128), q_index),
@@ -403,3 +404,13 @@ def make_flash_attention(
 
     flash.defvjp(_fwd_rule, _bwd_rule)
     return flash
+
+
+@functools.lru_cache(maxsize=16)
+def flash_attention_cached(causal: bool = False, window: int = -1,
+                           block_q: int = 256, block_k: int = 512,
+                           interpret: bool = False):
+    """Memoized make_flash_attention (one custom_vjp per static config, so
+    repeated module traces reuse the same jaxpr cache)."""
+    return make_flash_attention(causal=causal, window=window,
+                                block_q=block_q, block_k=block_k, interpret=interpret)

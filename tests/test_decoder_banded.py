@@ -46,3 +46,25 @@ def test_decoder_banded_equals_full():
     # valid (non-pad) positions must match exactly
     np.testing.assert_allclose(np.asarray(banded)[0, :250], np.asarray(full)[0, :250], atol=3e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(banded)[1], np.asarray(full)[1], atol=3e-4, rtol=1e-4)
+
+
+def test_decoder_flash_cross_matches_default(monkeypatch):
+    """use_flash_cross (Pallas, interpret mode on CPU) must match the XLA
+    cross-attention path in deterministic forward."""
+    from omr_a2s_multimodal_transformer_tpu.ops import flash_attention_bwd as fab
+
+    # route the cached factory through interpret mode for CPU execution
+    orig = fab.make_flash_attention
+    monkeypatch.setattr(fab, "flash_attention_cached",
+                        lambda **kw: orig(interpret=True, **kw))
+
+    dec = KernDecoder(vocab_size=V, max_seq_len=16, n_layers=2)
+    dec_flash = KernDecoder(vocab_size=V, max_seq_len=16, n_layers=2, use_flash_cross=True)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 1, V)
+    mem = jax.random.normal(jax.random.PRNGKey(1), (2, 160, 256))
+    mem_valid = jnp.arange(160)[None, :] < jnp.asarray([[160], [100]])[:, 0:1]
+    params = dec.init({"params": jax.random.PRNGKey(2)}, ids, mem, mem_valid)
+
+    base = dec.apply(params, ids, mem, mem_valid)
+    flash = dec_flash.apply(params, ids, mem, mem_valid)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(base), atol=3e-4, rtol=1e-4)
