@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize encoder blocks (less memory, bigger batches)")
     p.add_argument("--cache_dtype", default="bfloat16", choices=["float32", "bfloat16"],
                    help="decode KV-cache storage dtype (bfloat16: ~2x decode throughput)")
+    p.add_argument("--use_flash_cross", action="store_true",
+                   help="Pallas flash cross-attention in training (+17%% at max shapes; no attn-weight dropout)")
     p.add_argument("--weights_dir", default=None, help="default: weights/<ds_name>")
     p.add_argument("--keep_cache", action="store_true",
                    help="keep the preprocess disk cache (reference clears it after training)")
@@ -64,6 +66,7 @@ def main(argv=None) -> None:
         "masked_norm": args.masked_norm,
         "remat": args.remat,
         "cache_dtype": args.cache_dtype,
+        "use_flash_cross": args.use_flash_cross,
         "krn_encoding": args.krn_encoding,
         "ds_name": args.ds_name,
         "use_distorted_images": args.use_distorted_images,

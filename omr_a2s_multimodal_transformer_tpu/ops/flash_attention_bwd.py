@@ -81,7 +81,7 @@ def _fwd_kernel(kv_len_ref, q_ref, k_ref, v_ref, kv_mask_ref, o_ref, lse_ref, m_
         k = k_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         mask = _mask(qi, k_block, block_q, block_k, kv_len_ref[b], causal, window)
-        mask &= kv_mask_ref[0, 0][None, :] > 0
+        mask &= kv_mask_ref[0] > 0  # [1, bk] broadcasts over rows (Mosaic requires >=2D)
         s = jnp.where(mask, s, NEG_INF)
         m_prev = m_s[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -133,7 +133,7 @@ def _dq_kernel(kv_len_ref, q_ref, k_ref, v_ref, kv_mask_ref, do_ref, lse_ref, de
         do = do_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         mask = _mask(qi, k_block, block_q, block_k, kv_len_ref[b], causal, window)
-        mask &= kv_mask_ref[0, 0][None, :] > 0
+        mask &= kv_mask_ref[0] > 0  # [1, bk] broadcasts over rows (Mosaic requires >=2D)
         p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0][:, :1]) * scale
@@ -176,7 +176,7 @@ def _dkv_kernel(kv_len_ref, q_ref, k_ref, v_ref, kv_mask_ref, do_ref, lse_ref, d
         do = do_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         mask = _mask(q_block, ki, block_q, block_k, kv_len_ref[b], causal, window)
-        mask &= kv_mask_ref[0, 0][None, :] > 0
+        mask &= kv_mask_ref[0] > 0  # [1, bk] broadcasts over rows (Mosaic requires >=2D)
         p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
         dv_s[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -228,7 +228,7 @@ def make_flash_attention(
 
     def _prep_mask(kv_valid, b, lk, lk_p):
         # [B, 1, lk_p] so the (1, block_k) tile satisfies TPU tiling rules
-        return jnp.pad(kv_valid.astype(jnp.int8), ((0, 0), (0, lk_p - lk)))[:, None, :]
+        return jnp.pad(kv_valid.astype(jnp.int32), ((0, 0), (0, lk_p - lk)))[:, None, :]
 
     def _fwd_impl(q, k, v, kv_len, kv_valid):
         qp, kp, vp, _, (b, h, lq, lk, d, bq, bk, d_p, lq_p, lk_p) = _prep(q, k, v)
