@@ -281,7 +281,9 @@ class ARDataModule:
         self.input_modality = input_modality
         self.batch_size = batch_size
         # Unlike the reference (batch_size=1 eval), evaluation is batched.
-        self.eval_batch_size = eval_batch_size or batch_size
+        # Decode has a fixed per-step dispatch cost, so large eval batches
+        # amortize it (measured: b64 doubles tokens/s over b16 on v5e).
+        self.eval_batch_size = eval_batch_size or max(batch_size, 64)
         self.num_workers = num_workers
         self.seed = seed
         self.train_ds: Optional[ARDataset] = None
