@@ -28,7 +28,12 @@ from flax import linen as nn
 
 from omr_a2s_multimodal_transformer_tpu.models.positional import positional_encoding_1d
 from omr_a2s_multimodal_transformer_tpu.ops import masks as M
-from omr_a2s_multimodal_transformer_tpu.ops.attention import attend, merge_heads, split_heads
+from omr_a2s_multimodal_transformer_tpu.ops.attention import (
+    attend,
+    attend_packed_single_query,
+    merge_heads,
+    split_heads,
+)
 from omr_a2s_multimodal_transformer_tpu.ops.banded_attention import banded_causal_attention
 
 
@@ -128,26 +133,34 @@ class DecoderLayer(nn.Module):
         return x
 
     def cross_kv(self, memory):
-        """Precompute cross-attention K/V once per sequence (decode path)."""
-        k = split_heads(self.cross_attn.k_proj(memory), self.n_heads)
-        v = split_heads(self.cross_attn.v_proj(memory), self.n_heads)
-        return k, v
+        """Precompute cross-attention K/V once per sequence (decode path).
 
-    def step(self, x, pos, cache_k, cache_v, cross_k, cross_v, self_mask, mem_mask):
-        """One decode step. x: [B, 1, D]; caches: [B, Lmax, H, Dh].
+        Returned HEAD-PACKED [B, S, D]: the tiny trailing dims of a
+        [B, S, H, Dh] layout get tile-padded by XLA (up to 8x HBM bytes),
+        and every decode step re-reads the full array — see
+        ops/attention.py:attend_packed_single_query.
+        """
+        return self.cross_attn.k_proj(memory), self.cross_attn.v_proj(memory)
 
-        self_mask: [B?, 1, 1, Lmax] additive over cached positions.
+    def step(self, x, pos, cache_k, cache_v, cross_k, cross_v, self_mask, mem_bias):
+        """One decode step. x: [B, 1, D]; self caches head-packed
+        [B, cache_len, D]; cross_k/cross_v head-packed [B, S, D].
+
+        self_mask: [B?, cache_len] additive key bias over cached positions.
+        mem_bias: [B, S] additive key bias (or None).
         Returns (y [B,1,D], new_cache_k, new_cache_v).
         """
-        q, k_new, v_new = self.self_attn.qkv(x, x)  # [B,1,H,Dh]
+        q = self.self_attn.q_proj(x)[:, 0]  # [B, D]
+        k_new = self.self_attn.k_proj(x)  # [B, 1, D]
+        v_new = self.self_attn.v_proj(x)
         cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_new.astype(cache_k.dtype), pos, axis=1)
         cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_new.astype(cache_v.dtype), pos, axis=1)
-        h = attend(q, cache_k, cache_v, self_mask)
-        h = self.self_attn.out_proj(merge_heads(h))
+        h = attend_packed_single_query(q, cache_k, cache_v, self.n_heads, self_mask)
+        h = self.self_attn.out_proj(h[:, None, :].astype(x.dtype))
         x = self.norm1(x + h)
-        q2 = split_heads(self.cross_attn.q_proj(x), self.n_heads)
-        h = attend(q2, cross_k, cross_v, mem_mask)
-        h = self.cross_attn.out_proj(merge_heads(h))
+        q2 = self.cross_attn.q_proj(x)  # [B, 1, D]
+        h = attend_packed_single_query(q2[:, 0], cross_k, cross_v, self.n_heads, mem_bias)
+        h = self.cross_attn.out_proj(h[:, None, :].astype(x.dtype))
         x = self.norm2(x + h)
         x = self.norm3(x + self.linear2(nn.relu(self.linear1(x))))
         return x, cache_k, cache_v
@@ -259,8 +272,8 @@ class KernDecoder(nn.Module):
 
     def init_cache(self, batch: int, dtype=None) -> Dict[str, Any]:
         dtype = dtype or jnp.dtype(self.cache_dtype)
-        dh = self.d_model // self.n_heads
-        shape = (batch, self.cache_len, self.n_heads, dh)
+        # Head-packed [B, cache_len, D] (same layout rationale as cross_kv).
+        shape = (batch, self.cache_len, self.d_model)
         return {
             f"layer{i}": {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for i in range(self.n_layers)
@@ -294,25 +307,25 @@ class KernDecoder(nn.Module):
             # the most recent position congruent to s. Unwritten slots resolve
             # to negative p_s and are masked.
             write_at = jnp.mod(pos, c_len)
-            s = jnp.arange(c_len)[None, None, None, :]
+            s = jnp.arange(c_len)[None, :]
             p_s = pos - jnp.mod(pos - s, c_len)
             allowed = (p_s >= 0) & (p_s >= pos - self.attn_window)
         else:
             write_at = pos
-            j = jnp.arange(c_len)[None, None, None, :]
+            j = jnp.arange(c_len)[None, :]
             allowed = j <= pos
             if self.attn_window > 0:
                 allowed &= j >= pos - self.attn_window
-        self_mask = jnp.where(allowed, 0.0, M.NEG_INF)
+        self_mask = jnp.where(allowed, 0.0, M.NEG_INF)  # [1, cache_len] key bias
 
-        mem_mask = None
+        mem_bias = None
         if memory_valid is not None:
-            mem_mask = M.key_valid_attn_mask(memory_valid)
+            mem_bias = jnp.where(memory_valid, 0.0, M.NEG_INF)  # [B, S]
 
         new_cache = {}
         for i, layer in enumerate(self.layers):
             c = cache[f"layer{i}"]
             cr = cross[f"layer{i}"]
-            x, ck, cv = layer.step(x, write_at, c["k"], c["v"], cr["k"], cr["v"], self_mask, mem_mask)
+            x, ck, cv = layer.step(x, write_at, c["k"], c["v"], cr["k"], cr["v"], self_mask, mem_bias)
             new_cache[f"layer{i}"] = {"k": ck, "v": cv}
         return self.out_layer(x)[:, 0, :], new_cache

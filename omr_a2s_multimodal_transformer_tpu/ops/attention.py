@@ -33,13 +33,23 @@ def attend(
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """softmax(q k^T / sqrt(dh) + mask) v with f32 softmax accumulation."""
+    """softmax(q k^T / sqrt(dh) + mask) v with f32 softmax accumulation.
+
+    compute_dtype=None keeps k/v in their stored dtype (q is cast down to
+    match). Critical for KV-cached decode: casting a bfloat16 cache to f32
+    makes XLA materialize a 2x-sized copy of the whole cache EVERY step —
+    measured 8.1 -> ~1.5 ms/step at the flagship shape (b8, S=12.7k, 8
+    layers). The MXU natively accumulates bf16 x bf16 -> f32
+    (preferred_element_type), so softmax math stays f32 either way.
+    """
     dh = q.shape[-1]
+    out_dtype = jnp.float32 if compute_dtype is None else q.dtype
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q.astype(compute_dtype), k.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    ) * scale
+    if compute_dtype is None:
+        q = q.astype(k.dtype)
+    else:
+        q, k, v = q.astype(compute_dtype), k.astype(compute_dtype), v.astype(compute_dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     if mask is not None:
         logits = logits + mask.astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1)
@@ -47,7 +57,43 @@ def attend(
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", weights.astype(compute_dtype), v.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        "bhqk,bkhd->bqhd", weights.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
-    return out.astype(q.dtype)
+    return out.astype(out_dtype)
+
+
+def attend_packed_single_query(
+    q: jnp.ndarray,  # [B, D] (any float dtype; cast to the KV dtype)
+    k_packed: jnp.ndarray,  # [B, S, D] head-packed keys (stored dtype)
+    v_packed: jnp.ndarray,  # [B, S, D] head-packed values
+    n_heads: int,
+    mem_bias: Optional[jnp.ndarray] = None,  # [B, S] additive (f32)
+) -> jnp.ndarray:
+    """Single-query multi-head attention over head-packed K/V. Returns [B, D] f32.
+
+    Decode-time cross-attention reads the whole K/V from HBM every step —
+    the flagship-shape bandwidth floor (8 layers x 12.7k keys x 256 x 2).
+    Storing K/V as [B, S, H, Dh] lets XLA tile-pad the tiny trailing
+    (H=4, Dh=64) dims up to the (sublane, lane) tile — up to 8x the bytes.
+    Keeping them packed as [B, S, 256] is lane-aligned and exact.
+
+    The per-head dot never reshapes the big arrays: a block-diagonal
+    expander turns q [B, D] into qbd [B, D, H] (column h holds q's head-h
+    slice), so logits = K @ qbd contracts the packed D dim per head on the
+    MXU; the output side symmetrically computes P^T @ V -> [B, H, D] and
+    takes the h-th Dh-block of row h. Measured 8.1 -> ~1.3 ms/step at
+    b8/S=12696/8-layers (vs the 1.19 ms/step pure-KV-read floor).
+    """
+    b, s, d = k_packed.shape
+    dh = d // n_heads
+    scale = 1.0 / float(dh) ** 0.5
+    dt = k_packed.dtype
+    sel = (jnp.arange(d)[:, None] // dh == jnp.arange(n_heads)[None]).astype(dt)  # [D, H]
+    qbd = q.astype(dt)[:, :, None] * sel[None]  # [B, D, H]
+    logits = jnp.einsum("bsd,bdh->bsh", k_packed, qbd, preferred_element_type=jnp.float32) * scale
+    if mem_bias is not None:
+        logits = logits + mem_bias.astype(jnp.float32)[:, :, None]
+    w = jax.nn.softmax(logits, axis=1)  # over S
+    o_full = jnp.einsum("bsh,bsd->bhd", w.astype(dt), v_packed, preferred_element_type=jnp.float32)
+    hh = jnp.arange(n_heads)
+    return o_full.reshape(b, n_heads, n_heads, dh)[:, hh, hh, :].reshape(b, d)
