@@ -41,6 +41,11 @@ def add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--run_dir", default=None)
     p.add_argument("--threefry_prng", action="store_true",
                    help="use threefry instead of the faster rbg PRNG")
+    p.add_argument("--cache_dtype", default=None,
+                   choices=["float32", "bfloat16", "int8"],
+                   help="override the decode KV-cache dtype from the checkpoint "
+                        "hparams; int8 quantizes the (write-once) cross K/V "
+                        "per-channel and halves decode HBM traffic vs bfloat16")
 
 
 def make_datamodule(args, input_modality: str) -> ARDataModule:
@@ -76,11 +81,19 @@ def model_name_from_args(args, input_modality: str, mixer_type: Optional[str]) -
     return name
 
 
-def build_from_checkpoint(checkpoint_path: str, ytest_i2w: Optional[Dict] = None):
-    """Load hparams + params from an orbax checkpoint dir -> (model, params, hparams)."""
+def build_from_checkpoint(checkpoint_path: str, ytest_i2w: Optional[Dict] = None,
+                          hparams_override: Optional[Dict] = None):
+    """Load hparams + params from an orbax checkpoint dir -> (model, params, hparams).
+
+    hparams_override entries (with non-None values) replace the stored
+    hparams — e.g. {"cache_dtype": "int8"} switches decode KV quantization
+    without retraining (runtime knob, not an architecture change)."""
     from omr_a2s_multimodal_transformer_tpu.training import checkpoint as ckpt_lib
 
     hp = ckpt_lib.load_hparams(checkpoint_path)
+    for k, v in (hparams_override or {}).items():
+        if v is not None:
+            hp[k] = v
     model, multimodal = build_model(hp)
     state = ckpt_lib.restore_checkpoint(checkpoint_path)
     params = state["params"] if "params" in state else state

@@ -65,8 +65,8 @@ def main(argv=None) -> None:
     vocab = dm.get_vocab()
     ytest_i2w = dm.test_ds.i2w
 
-    img_model, img_params, _, _ = common.build_from_checkpoint(args.image_checkpoint_path)
-    audio_model, audio_params, _, _ = common.build_from_checkpoint(args.audio_checkpoint_path)
+    img_model, img_params, _, _ = common.build_from_checkpoint(args.image_checkpoint_path, hparams_override={"cache_dtype": args.cache_dtype})
+    audio_model, audio_params, _, _ = common.build_from_checkpoint(args.audio_checkpoint_path, hparams_override={"cache_dtype": args.cache_dtype})
 
     img_toks, img_scores, gts = decode_split(img_model, img_params, dm.test_dataloader(), vocab, "image")
     audio_toks, audio_scores, _ = decode_split(audio_model, audio_params, dm.test_dataloader(), vocab, "audio")

@@ -32,7 +32,7 @@ def main(argv=None) -> None:
     dm.setup("test")
     ytest_i2w = dm.test_ds.i2w
 
-    model, params, hp, multimodal = common.build_from_checkpoint(args.checkpoint_path)
+    model, params, hp, multimodal = common.build_from_checkpoint(args.checkpoint_path, hparams_override={"cache_dtype": args.cache_dtype})
     vocab = dm.get_vocab()  # model vocab == collection vocab (shared)
     trainer = Trainer(
         model, vocab, hp,

@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mask padded pixels out of instance-norm statistics")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder blocks (less memory, bigger batches)")
-    p.add_argument("--cache_dtype", default="bfloat16", choices=["float32", "bfloat16"],
+    p.add_argument("--cache_dtype", default="bfloat16", choices=["float32", "bfloat16", "int8"],
                    help="decode KV-cache storage dtype (bfloat16: ~2x decode throughput)")
     p.add_argument("--use_flash_cross", action="store_true",
                    help="Pallas flash cross-attention in training (+17%% at max shapes; no attn-weight dropout)")

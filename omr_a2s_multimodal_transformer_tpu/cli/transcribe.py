@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--img_height", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cache_dtype", default=None, choices=["float32", "bfloat16", "int8"],
+                   help="override decode KV-cache dtype (int8 halves decode HBM traffic)")
     return p
 
 
@@ -62,7 +64,7 @@ def main(argv=None) -> None:
     if not paths:
         raise FileNotFoundError(f"No inputs match {args.inputs}")
     vocab = Vocabulary.load(args.vocab_path)
-    model, params, hp, multimodal = common.build_from_checkpoint(args.checkpoint_path)
+    model, params, hp, multimodal = common.build_from_checkpoint(args.checkpoint_path, hparams_override={"cache_dtype": args.cache_dtype})
     assert not multimodal, "transcribe drives unimodal checkpoints (image or audio)"
 
     decode = jax.jit(greedy_decode_fn(model, model.max_seq_len, vocab.sos_id, vocab.eos_id))

@@ -45,8 +45,8 @@ def main(argv=None) -> None:
     vocab = dm.get_vocab()
     ytest_i2w = dm.test_ds.i2w
 
-    img_model, img_params, img_hp, _ = common.build_from_checkpoint(args.image_checkpoint_path)
-    audio_model, audio_params, audio_hp, _ = common.build_from_checkpoint(args.audio_checkpoint_path)
+    img_model, img_params, img_hp, _ = common.build_from_checkpoint(args.image_checkpoint_path, hparams_override={"cache_dtype": args.cache_dtype})
+    audio_model, audio_params, audio_hp, _ = common.build_from_checkpoint(args.audio_checkpoint_path, hparams_override={"cache_dtype": args.cache_dtype})
     assert img_hp["vocab_size"] == audio_hp["vocab_size"], "Vocabularies do not match"
 
     max_len = max(img_model.max_seq_len, audio_model.max_seq_len)

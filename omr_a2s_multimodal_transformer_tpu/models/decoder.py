@@ -142,9 +142,11 @@ class DecoderLayer(nn.Module):
         """
         return self.cross_attn.k_proj(memory), self.cross_attn.v_proj(memory)
 
-    def step(self, x, pos, cache_k, cache_v, cross_k, cross_v, self_mask, mem_bias):
+    def step(self, x, pos, cache_k, cache_v, cross_k, cross_v, self_mask, mem_bias,
+             cross_k_scale=None, cross_v_scale=None):
         """One decode step. x: [B, 1, D]; self caches head-packed
-        [B, cache_len, D]; cross_k/cross_v head-packed [B, S, D].
+        [B, cache_len, D]; cross_k/cross_v head-packed [B, S, D]
+        (int8 when cross_*_scale [B, D] are given).
 
         self_mask: [B?, cache_len] additive key bias over cached positions.
         mem_bias: [B, S] additive key bias (or None).
@@ -159,7 +161,10 @@ class DecoderLayer(nn.Module):
         h = self.self_attn.out_proj(h[:, None, :].astype(x.dtype))
         x = self.norm1(x + h)
         q2 = self.cross_attn.q_proj(x)  # [B, 1, D]
-        h = attend_packed_single_query(q2[:, 0], cross_k, cross_v, self.n_heads, mem_bias)
+        h = attend_packed_single_query(
+            q2[:, 0], cross_k, cross_v, self.n_heads, mem_bias,
+            k_scale=cross_k_scale, v_scale=cross_v_scale,
+        )
         h = self.cross_attn.out_proj(h[:, None, :].astype(x.dtype))
         x = self.norm2(x + h)
         x = self.norm3(x + self.linear2(nn.relu(self.linear1(x))))
@@ -179,7 +184,9 @@ class KernDecoder(nn.Module):
     attn_window: int = -1  # <=0: plain causal
     # Storage dtype for decode-time KV caches + cross K/V. Every decode step
     # re-reads these from HBM (the decode bandwidth floor); bfloat16 halves
-    # that traffic. float32 default keeps bit-exact full-forward equivalence.
+    # that traffic, "int8" halves it again (per-channel quantized cross K/V;
+    # self ring cache stays bf16). float32 keeps bit-exact full-forward
+    # equivalence.
     cache_dtype: str = "float32"
     # Flash cross-attention in the full-sequence forward (training): avoids
     # [L, S] logits against wide memories. Implies -inf pad semantics (not
@@ -271,8 +278,13 @@ class KernDecoder(nn.Module):
         return self.max_seq_len
 
     def init_cache(self, batch: int, dtype=None) -> Dict[str, Any]:
-        dtype = dtype or jnp.dtype(self.cache_dtype)
         # Head-packed [B, cache_len, D] (same layout rationale as cross_kv).
+        # int8 cache_dtype applies to the (large, write-once) cross K/V only;
+        # the self ring cache is small and appended every step, so it stays
+        # bfloat16 (requantizing a running ring would drift).
+        dtype = dtype or (
+            jnp.bfloat16 if self.cache_dtype == "int8" else jnp.dtype(self.cache_dtype)
+        )
         shape = (batch, self.cache_len, self.d_model)
         return {
             f"layer{i}": {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
@@ -280,7 +292,25 @@ class KernDecoder(nn.Module):
         }
 
     def prefill(self, memory: jnp.ndarray) -> Dict[str, Any]:
-        """Precompute per-layer cross-attention K/V from the memory."""
+        """Precompute per-layer cross-attention K/V from the memory.
+
+        cache_dtype="int8": per-(batch, channel) symmetric quantization;
+        entries carry {"k","v","k_scale","v_scale"} and every decode step
+        reads half the bytes of bf16 (the flagship decode bandwidth floor).
+        """
+        if self.cache_dtype == "int8":
+            out = {}
+            for i, layer in enumerate(self.layers):
+                entry = {}
+                for name, t in zip(("k", "v"), layer.cross_kv(memory)):
+                    t = t.astype(jnp.float32)
+                    s = jnp.maximum(jnp.max(jnp.abs(t), axis=1), 1e-8) / 127.0  # [B, D]
+                    entry[name] = (
+                        jnp.clip(jnp.round(t / s[:, None, :]), -127, 127).astype(jnp.int8)
+                    )
+                    entry[f"{name}_scale"] = s
+                out[f"layer{i}"] = entry
+            return out
         dtype = jnp.dtype(self.cache_dtype)
         return {
             f"layer{i}": {
@@ -326,6 +356,9 @@ class KernDecoder(nn.Module):
         for i, layer in enumerate(self.layers):
             c = cache[f"layer{i}"]
             cr = cross[f"layer{i}"]
-            x, ck, cv = layer.step(x, write_at, c["k"], c["v"], cr["k"], cr["v"], self_mask, mem_bias)
+            x, ck, cv = layer.step(
+                x, write_at, c["k"], c["v"], cr["k"], cr["v"], self_mask, mem_bias,
+                cross_k_scale=cr.get("k_scale"), cross_v_scale=cr.get("v_scale"),
+            )
             new_cache[f"layer{i}"] = {"k": ck, "v": cv}
         return self.out_layer(x)[:, 0, :], new_cache

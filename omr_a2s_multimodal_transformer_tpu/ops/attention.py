@@ -68,6 +68,8 @@ def attend_packed_single_query(
     v_packed: jnp.ndarray,  # [B, S, D] head-packed values
     n_heads: int,
     mem_bias: Optional[jnp.ndarray] = None,  # [B, S] additive (f32)
+    k_scale: Optional[jnp.ndarray] = None,  # [B, D] dequant scales (int8 KV)
+    v_scale: Optional[jnp.ndarray] = None,  # [B, D]
 ) -> jnp.ndarray:
     """Single-query multi-head attention over head-packed K/V. Returns [B, D] f32.
 
@@ -83,17 +85,33 @@ def attend_packed_single_query(
     MXU; the output side symmetrically computes P^T @ V -> [B, H, D] and
     takes the h-th Dh-block of row h. Measured 8.1 -> ~1.3 ms/step at
     b8/S=12696/8-layers (vs the 1.19 ms/step pure-KV-read floor).
+
+    Int8 KV (k_scale/v_scale given): storage is per-(batch, channel)
+    symmetric int8; the K scales fold into q before the dot and the V
+    scales fold into the output after it, so the big arrays are read as
+    int8 and converted in-register (XLA fuses the convert into the dot —
+    measured 0.62 ms/step vs 1.19 bf16 at b8/S=12.7k/8-layers).
     """
     b, s, d = k_packed.shape
     dh = d // n_heads
     scale = 1.0 / float(dh) ** 0.5
-    dt = k_packed.dtype
+    dt = jnp.bfloat16 if k_packed.dtype == jnp.int8 else k_packed.dtype
+    qf = q.astype(jnp.float32)
+    if k_scale is not None:
+        qf = qf * k_scale.astype(jnp.float32)
     sel = (jnp.arange(d)[:, None] // dh == jnp.arange(n_heads)[None]).astype(dt)  # [D, H]
-    qbd = q.astype(dt)[:, :, None] * sel[None]  # [B, D, H]
-    logits = jnp.einsum("bsd,bdh->bsh", k_packed, qbd, preferred_element_type=jnp.float32) * scale
+    qbd = qf.astype(dt)[:, :, None] * sel[None]  # [B, D, H]
+    logits = jnp.einsum(
+        "bsd,bdh->bsh", k_packed.astype(dt), qbd, preferred_element_type=jnp.float32
+    ) * scale
     if mem_bias is not None:
         logits = logits + mem_bias.astype(jnp.float32)[:, :, None]
     w = jax.nn.softmax(logits, axis=1)  # over S
-    o_full = jnp.einsum("bsh,bsd->bhd", w.astype(dt), v_packed, preferred_element_type=jnp.float32)
+    o_full = jnp.einsum(
+        "bsh,bsd->bhd", w.astype(dt), v_packed.astype(dt), preferred_element_type=jnp.float32
+    )
     hh = jnp.arange(n_heads)
-    return o_full.reshape(b, n_heads, n_heads, dh)[:, hh, hh, :].reshape(b, d)
+    out = o_full.reshape(b, n_heads, n_heads, dh)[:, hh, hh, :].reshape(b, d)
+    if v_scale is not None:
+        out = out * v_scale.astype(jnp.float32)
+    return out

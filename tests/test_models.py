@@ -122,3 +122,34 @@ def test_modality_dispatch():
     for modality in ["image", "audio", "both"]:
         lg = jax.jit(m.apply, static_argnums=(6,))(params, xi, None, xa, None, y_in, modality)
         assert lg.shape == (1, 2, V)
+
+
+def test_int8_kv_cache_close_to_f32():
+    """cache_dtype="int8" (per-channel quantized cross K/V) must track the
+    f32 decode step closely: small relative logit error, same ranking on
+    clearly-separated logits."""
+    m, x, _, _, params = _setup()
+    m8 = UnimodalTransformer(vocab_size=V, max_seq_len=MAXLEN, cache_dtype="int8")
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (B, MAXLEN), 1, V)
+
+    def roll(model):
+        prefill = jax.jit(lambda p, x: model.apply(p, x, None, method=UnimodalTransformer.decode_prefill))
+        cross, _ = prefill(params, x)
+        cache = model.apply(params, B, method=UnimodalTransformer.decode_init_cache)
+        step_fn = jax.jit(
+            lambda p, tok, pos, cache, cross: model.apply(
+                p, tok, pos, cache, cross, None, method=UnimodalTransformer.decode_step
+            )
+        )
+        out = []
+        for t in range(MAXLEN):
+            lg, cache = step_fn(params, tokens[:, t], jnp.int32(t), cache, cross)
+            out.append(np.asarray(lg))
+        return np.stack(out, axis=1)  # [B, L, V]
+
+    lf = roll(m)
+    l8 = roll(m8)
+    # int8 per-channel KV: logit error well under the logit spread
+    err = np.abs(l8 - lf).max()
+    spread = lf.std()
+    assert err < 0.12 * spread, (err, spread)

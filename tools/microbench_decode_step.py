@@ -118,6 +118,55 @@ def main():
 
         run("cross_c", body_c, jnp.ones((B, 1, D), jnp.float32), (ks, vs))
 
+    if "cross_i8" in which:
+        # int8 KV, int8 qbd, MXU int8xint8->int32 dot; scales folded outside
+        ks = jax.random.randint(key, (NL, B, S, D), -127, 127, jnp.int8)
+        vs = jax.random.randint(key, (NL, B, S, D), -127, 127, jnp.int8)
+        eye = jnp.zeros((D, H), jnp.int8)
+        rows = jnp.arange(D)
+        eye = eye.at[rows, rows // DH].set(1)
+
+        def body_i8(i, x, ks, vs):
+            for l in range(NL):
+                q = x.reshape(B, D)
+                qi = jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8)
+                qbd = qi[:, :, None] * eye[None]
+                logits = jnp.einsum("bsd,bdh->bsh", ks[l], qbd,
+                                    preferred_element_type=jnp.int32).astype(jnp.float32) * (0.125 / 127.0 / 127.0)
+                w = jax.nn.softmax(logits, axis=1)
+                wq = jnp.clip(jnp.round(w * 127.0), -127, 127).astype(jnp.int8)
+                o_full = jnp.einsum("bsh,bsd->bhd", wq, vs[l],
+                                    preferred_element_type=jnp.int32).astype(jnp.float32) / (127.0 * 127.0)
+                o = o_full.reshape(B, H, H, DH)[:, jnp.arange(H), jnp.arange(H), :]
+                x = x + o.reshape(B, 1, D).astype(x.dtype)
+            return x
+
+        run("cross_i8", body_i8, jnp.ones((B, 1, D), jnp.float32), (ks, vs))
+
+    if "cross_i8bf" in which:
+        # int8 KV storage, converted to bf16 inside the dot (tests whether
+        # XLA fuses the convert or materializes a bf16 copy per step)
+        ks = jax.random.randint(key, (NL, B, S, D), -127, 127, jnp.int8)
+        vs = jax.random.randint(key, (NL, B, S, D), -127, 127, jnp.int8)
+        eye = jnp.zeros((D, H), jnp.bfloat16)
+        rows = jnp.arange(D)
+        eye = eye.at[rows, rows // DH].set(1.0)
+
+        def body_i8bf(i, x, ks, vs):
+            for l in range(NL):
+                q = x.reshape(B, D).astype(jnp.bfloat16)
+                qbd = q[:, :, None] * eye[None]
+                logits = jnp.einsum("bsd,bdh->bsh", ks[l].astype(jnp.bfloat16), qbd,
+                                    preferred_element_type=jnp.float32) * 0.125
+                w = jax.nn.softmax(logits, axis=1)
+                o_full = jnp.einsum("bsh,bsd->bhd", w.astype(jnp.bfloat16), vs[l].astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32)
+                o = o_full.reshape(B, H, H, DH)[:, jnp.arange(H), jnp.arange(H), :]
+                x = x + o.reshape(B, 1, D).astype(x.dtype)
+            return x
+
+        run("cross_i8bf", body_i8bf, jnp.ones((B, 1, D), jnp.float32), (ks, vs))
+
     if "rest" in which:
         CL = 101
         w_qkv = jax.random.normal(key, (NL, 3, D, D), jnp.float32) * 0.05
