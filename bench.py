@@ -1,26 +1,35 @@
-"""Benchmark driver: end-to-end training-step throughput on the flagship
-image->kern model at realistic GRANDSTAFF shapes.
+"""Benchmark driver. Emits one JSON line per benchmark; the LAST line is the
+north-star metric from BASELINE.json: GRANDSTAFF samples/sec/chip for
+END-TO-END preprocess+encode+decode at the dataset's true max shapes
+(361x4412 distorted score images, L=1268 kern decode, 12,696-token
+memories, vocab 6,997 — /root/reference/grandstaff/max_lens/).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Lines:
+  {"metric": "train_samples_per_sec_per_chip", ...}        (training step)
+  {"metric": "e2e_transcribe_samples_per_sec_per_chip", ...}  <- north star
 
-The baseline denominator is the PyTorch reference architecture running the
-same training step at the same shapes on this host (measured once and
-cached in bench_baseline.json — the reference publishes no numbers,
-BASELINE.md). On a TPU runner this compares TPU JAX vs host PyTorch;
-the judged target is >=5x a PyTorch GPU (BASELINE.json), so the cached
-baseline records host/device context for transparency.
+Baselines (cached in bench_baseline.json) are the PyTorch reference
+architecture on this host — CPU in this container; the reference repo
+publishes no GPU numbers (BASELINE.md). The torch e2e decode cost is
+measured at several prefix lengths and linearly extrapolated over its
+uncached O(L^2) loop (reference model.py:170-199) — a CONSERVATIVE
+(under)estimate of the true torch cost. STATUS.md argues the >=5x-GPU
+target from HBM-roofline first principles instead of this CPU ratio.
 
-Config: batch 16, images 128x1024 (typical distorted-score crop at the
-dataset's mean aspect), seq len 256, vocab 6997, attn_window 100, bf16.
+Procedure is pinned for reproducibility: warmup until compiled, then
+median of 3 timed blocks; every timing fetches a value that depends on
+the computation (the axon backend acks before execution finishes).
+
+Usage: python bench.py [train|decode|e2e]   (default: train then e2e)
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
-BENCH_CONFIG = {
+TRAIN_CONFIG = {
     "batch": 16,
     "height": 128,
     "width": 1024,
@@ -29,15 +38,31 @@ BENCH_CONFIG = {
     "attn_window": 100,
     "steps": 10,
 }
+# True GRANDSTAFF maxima (reference grandstaff/max_lens/ImgDist_ar_w2i_kern.json)
+E2E_CONFIG = {
+    "batch": 8,
+    "height": 361,
+    "width": 4412,
+    "seq_len": 1268,
+    "vocab": 6997,
+    "attn_window": 100,
+    "cache_dtype": "bfloat16",  # exact decode; int8 mode reported in STATUS.md
+}
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
-def bench_jax(cfg) -> float:
+def _jax_setup():
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax
+
+
+def bench_jax_train(cfg) -> float:
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
     jax.config.update("jax_default_prng_impl", "rbg")  # +30% step (threefry dropout cost)
 
     from omr_a2s_multimodal_transformer_tpu.models import build_model
@@ -65,18 +90,56 @@ def bench_jax(cfg) -> float:
     rng = jax.random.PRNGKey(1)
 
     state, loss = step(state, batch, rng)  # compile
-    _ = float(loss)  # value fetch: block_until_ready alone returns early on the axon backend
-    t0 = time.perf_counter()
-    for _ in range(cfg["steps"]):
-        state, loss = step(state, batch, rng)
-    _ = float(loss)  # final loss depends on every step -> forces the whole chain
-    dt = time.perf_counter() - t0
-    return cfg["steps"] * b / dt
+    _ = float(loss)
+    blocks = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(cfg["steps"]):
+            state, loss = step(state, batch, rng)
+        _ = float(loss)  # value fetch forces the whole chain
+        blocks.append(cfg["steps"] * b / (time.perf_counter() - t0))
+    return statistics.median(blocks)
 
 
-def bench_torch_reference(cfg) -> float:
-    """Reference-architecture training step in PyTorch on this host
-    (CPU in this container; see BASELINE.md for context)."""
+def bench_jax_e2e(cfg) -> float:
+    """North star: raw uint8 images -> on-device preprocess -> encode ->
+    KV-cached greedy decode to max_len (no early eos: worst-case length)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
+    from omr_a2s_multimodal_transformer_tpu.inference import make_image_transcriber
+    from omr_a2s_multimodal_transformer_tpu.models import build_model
+
+    hp = {
+        "vocab_size": cfg["vocab"],
+        "max_seq_len": cfg["seq_len"],
+        "input_modality": "image",
+        "attn_window": cfg["attn_window"],
+        "cache_dtype": cfg["cache_dtype"],
+    }
+    model, _ = build_model(hp)
+    b = cfg["batch"]
+    raw = jnp.ones((b, cfg["height"], cfg["width"]), jnp.uint8)
+    hw = jnp.asarray([[cfg["height"], cfg["width"]]] * b, jnp.int32)
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.ones((b, cfg["height"], cfg["width"], 1), jnp.float32), hw,
+        jnp.ones((b, 4), jnp.int32),
+    )
+    transcribe = make_image_transcriber(model, sos_id=1, eos_id=0)
+    tokens, _ = transcribe(params, raw, hw)  # compile
+    _ = jax.device_get(tokens)
+    blocks = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tokens, _ = transcribe(params, raw, hw)
+        _ = jax.device_get(tokens)
+        blocks.append(b / (time.perf_counter() - t0))
+    return statistics.median(blocks)
+
+
+def bench_torch_train(cfg) -> float:
+    """Reference-architecture training step in PyTorch on this host."""
     import torch
     import torch.nn as nn
 
@@ -119,33 +182,79 @@ def bench_torch_reference(cfg) -> float:
     return steps * b / dt
 
 
-def get_baseline(cfg) -> dict:
-    if os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as f:
-            cached = json.load(f)
-        if cached.get("config") == cfg:
-            return cached
+def bench_torch_e2e(cfg) -> dict:
+    """Reference e2e at max shapes on this host: encoder forward once +
+    uncached greedy decode cost extrapolated from measured per-step costs
+    at several prefix lengths (the reference re-runs the full decoder per
+    emitted token, model.py:182-193 — cost(t) ~= a + b*t; summing the fit
+    over t=1..L UNDERestimates the true quadratic-with-overheads cost)."""
+    import numpy as np
     import torch
 
-    value = bench_torch_reference(cfg)
-    cached = {
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from test_torch_parity import TDecoder, TEncoder
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    enc = TEncoder().eval()
+    dec = TDecoder(cfg["vocab"], cfg["seq_len"]).eval()
+    x = torch.ones(1, 1, cfg["height"], cfg["width"])
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        f = enc(x)
+        mem = f.flatten(2).permute(0, 2, 1)
+        t_enc = time.perf_counter() - t0
+        import torch.nn as nn
+
+        probe_lens, per_step = [16, 64, 128], []
+        for t in probe_lens:
+            y = torch.ones(1, t, dtype=torch.long)
+            causal = nn.Transformer.generate_square_subsequent_mask(t)
+            t0 = time.perf_counter()
+            dec(y, mem, tgt_mask=causal)
+            per_step.append(time.perf_counter() - t0)
+    b_slope, a = np.polyfit(probe_lens, per_step, 1)
+    L = cfg["seq_len"]
+    t_dec = a * L + b_slope * L * (L + 1) / 2.0
+    total = t_enc + t_dec
+    return {
+        "samples_per_sec": 1.0 / total,
+        "encode_s": t_enc,
+        "decode_s_extrapolated": t_dec,
+        "probe_lens": probe_lens,
+        "probe_costs_s": per_step,
+    }
+
+
+def get_baseline(key, cfg, fn) -> dict:
+    cache = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            cache = json.load(f)
+    entry = cache.get(key)
+    if entry and entry.get("config") == cfg:
+        return entry
+    import torch
+
+    result = fn(cfg)
+    if not isinstance(result, dict):
+        result = {"samples_per_sec": result}
+    entry = {
         "config": cfg,
-        "samples_per_sec": value,
+        **result,
         "framework": "torch-" + torch.__version__,
         "device": "cuda" if torch.cuda.is_available() else "cpu",
     }
+    cache[key] = entry
     with open(BASELINE_FILE, "w") as f:
-        json.dump(cached, f, indent=1)
-    return cached
+        json.dump(cache, f, indent=1)
+    return entry
 
 
-def bench_decode(cfg) -> float:
-    """Batched KV-cached greedy decode throughput (tokens/sec) — the
-    reference's dominant eval cost is its uncached per-sample loop."""
-    import jax
+def bench_decode_tokens(cfg) -> float:
+    """Batched KV-cached greedy decode throughput (tokens/sec) at the train
+    bench shapes (kept for r1 comparability; `python bench.py decode`)."""
+    jax = _jax_setup()
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
 
     from omr_a2s_multimodal_transformer_tpu.models import build_model
     from omr_a2s_multimodal_transformer_tpu.training.decode import greedy_decode_fn
@@ -155,7 +264,7 @@ def bench_decode(cfg) -> float:
         "max_seq_len": cfg["seq_len"],
         "input_modality": "image",
         "attn_window": cfg["attn_window"],
-        "cache_dtype": "bfloat16",  # production decode config (ring cache + bf16)
+        "cache_dtype": "bfloat16",
     }
     model, _ = build_model(hp)
     b = cfg["batch"]
@@ -173,41 +282,54 @@ def bench_decode(cfg) -> float:
         tokens, _ = decode(params, x, hw)
     _ = jax.device_get(tokens)
     dt = (time.perf_counter() - t0) / iters
-    return b * cfg["seq_len"] / dt  # eos_id=0 never emitted -> full-length decode
+    return b * cfg["seq_len"] / dt
+
+
+def emit(metric, value, unit, vs):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
 
 
 def main():
-    cfg = dict(BENCH_CONFIG)
-    if len(sys.argv) > 1 and sys.argv[1] == "decode":
-        tps = bench_decode(cfg)
-        print(
-            json.dumps(
-                {
-                    "metric": "greedy_decode_tokens_per_sec_per_chip",
-                    "value": round(tps, 1),
-                    "unit": f"tokens/s (b{cfg['batch']} {cfg['height']}x{cfg['width']} L{cfg['seq_len']}, KV-cached)",
-                    "vs_baseline": None,
-                }
-            )
-        )
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode not in ("all", "train", "e2e", "decode"):
+        sys.exit(f"unknown mode {mode!r}: use train | e2e | decode (default: all)")
+    if mode == "decode":
+        cfg = dict(TRAIN_CONFIG)
+        tps = bench_decode_tokens(cfg)
+        emit("greedy_decode_tokens_per_sec_per_chip", tps,
+             f"tokens/s (b{cfg['batch']} {cfg['height']}x{cfg['width']} L{cfg['seq_len']}, KV-cached)",
+             float("nan"))
         return
-    ours = bench_jax(cfg)
-    try:
-        baseline = get_baseline(cfg)
-        vs = ours / baseline["samples_per_sec"]
-    except Exception:
-        baseline = None
-        vs = float("nan")
-    print(
-        json.dumps(
-            {
-                "metric": "train_samples_per_sec_per_chip",
-                "value": round(ours, 3),
-                "unit": f"samples/s (b{cfg['batch']} {cfg['height']}x{cfg['width']} L{cfg['seq_len']})",
-                "vs_baseline": round(vs, 2) if vs == vs else None,
-            }
-        )
-    )
+
+    if mode in ("all", "train"):
+        cfg = dict(TRAIN_CONFIG)
+        ours = bench_jax_train(cfg)
+        try:
+            base = get_baseline("train", cfg, bench_torch_train)
+            vs = ours / base["samples_per_sec"]
+        except Exception:
+            vs = float("nan")
+        emit("train_samples_per_sec_per_chip", ours,
+             f"samples/s (b{cfg['batch']} {cfg['height']}x{cfg['width']} L{cfg['seq_len']}; vs torch-CPU ref)",
+             vs)
+
+    if mode in ("all", "e2e"):
+        cfg = dict(E2E_CONFIG)
+        ours = bench_jax_e2e(cfg)
+        try:
+            base = get_baseline("e2e", cfg, bench_torch_e2e)
+            vs = ours / base["samples_per_sec"]
+        except Exception:
+            vs = float("nan")
+        emit("e2e_transcribe_samples_per_sec_per_chip", ours,
+             f"samples/s (preprocess+encode+decode, b{cfg['batch']} raw-u8 {cfg['height']}x{cfg['width']} "
+             f"-> L{cfg['seq_len']} full decode, {cfg['cache_dtype']} KV; vs torch-CPU ref extrapolated)",
+             vs)
 
 
 if __name__ == "__main__":
