@@ -38,8 +38,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mask padded pixels out of instance-norm statistics")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder blocks (less memory, bigger batches)")
-    p.add_argument("--cache_dtype", default="bfloat16", choices=["float32", "bfloat16", "int8"],
-                   help="decode KV-cache storage dtype (bfloat16: ~2x decode throughput)")
     p.add_argument("--use_flash_cross", action="store_true",
                    help="Pallas flash cross-attention in training (+17%% at max shapes; no attn-weight dropout)")
     p.add_argument("--weights_dir", default=None, help="default: weights/<ds_name>")
@@ -65,7 +63,7 @@ def main(argv=None) -> None:
         "attn_window": args.attn_window,
         "masked_norm": args.masked_norm,
         "remat": args.remat,
-        "cache_dtype": args.cache_dtype,
+        "cache_dtype": args.cache_dtype or "bfloat16",
         "use_flash_cross": args.use_flash_cross,
         "krn_encoding": args.krn_encoding,
         "ds_name": args.ds_name,

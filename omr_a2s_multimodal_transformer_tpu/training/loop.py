@@ -9,6 +9,7 @@ state, batched KV-cached eval decode, optional (data, model) mesh sharding.
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from typing import Dict, Optional
@@ -138,8 +139,18 @@ class Trainer:
                     step=jnp.int32(restored["step"]),
                 )
                 return
-            except Exception:
-                pass  # fall through to params-only restore
+            except Exception as e:
+                # LOUD fallback: silently resetting Adam moments mid-run after
+                # a structural mismatch (e.g. an optimizer/model refactor)
+                # would corrupt a resumed training trajectory undetected.
+                msg = (
+                    f"full resume from {path} failed ({type(e).__name__}: {e}); "
+                    "falling back to PARAMS-ONLY restore — optimizer state and "
+                    "step counter are reset"
+                )
+                logging.getLogger(__name__).warning(msg)
+                if self.logger is not None:
+                    self.logger.log({"resume_degraded": msg}, step=0)
         restored = ckpt_lib.restore_checkpoint(path)
         params = restored["params"] if "params" in restored else restored
         params = jax.tree.map(jnp.asarray, params)

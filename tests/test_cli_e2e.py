@@ -154,3 +154,22 @@ def test_transcribe_cli(workspace, unimodal_ckpts, tmp_path, capsys):
     assert outs == ["score0.krn", "score1.krn"]
     content = open(os.path.join(out_dir, "score0.krn")).read()
     assert content.startswith("**kern")
+
+
+def test_all_cli_parsers_construct():
+    """Every CLI's argparse parser must build (a duplicate-flag regression
+    between common.add_runtime_args and a CLI's own args crashed cli.train
+    at startup once — caught only by driving the CLI)."""
+    from omr_a2s_multimodal_transformer_tpu.cli import (
+        import_torch, params, split_ckpt, sw_test, test, train, transcribe, weighted_test,
+    )
+
+    for mod in (train, test, sw_test, weighted_test, transcribe):
+        assert mod.build_parser() is not None
+    # the remaining CLIs build their parser inside main(); exercise via --help
+    import pytest as _pytest
+
+    for mod in (import_torch, params, split_ckpt):
+        with _pytest.raises(SystemExit) as e:
+            mod.main(["--help"])
+        assert e.value.code == 0

@@ -62,3 +62,41 @@ def test_end_to_end_train_val_test(dm, tmp_path):
     p_old = trainer.state.params["decoder"]["out_layer"]["kernel"]
     p_new = t2.state.params["decoder"]["out_layer"]["kernel"]
     np.testing.assert_array_equal(np.asarray(p_old), np.asarray(p_new))
+
+
+def test_degraded_resume_is_loud(dm, tmp_path, caplog):
+    """A structurally-incompatible full-state checkpoint must fall back to
+    params-only restore LOUDLY (VERDICT r1: silent `except: pass` would
+    reset Adam moments mid-run undetected)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    vocab = dm.get_vocab()
+    hparams = {
+        "vocab_size": len(vocab),
+        "max_seq_len": dm.get_max_seq_len(),
+        "input_modality": "image",
+        "attn_window": 10,
+    }
+    model, _ = build_model(hparams)
+    t1 = Trainer(model, vocab, hparams, weights_dir=str(tmp_path / "w"),
+                 run_dir=str(tmp_path / "r"), bf16_compute=False)
+    sample = next(iter(dm.train_dataloader()))
+    t1.init_state(sample)
+    path = t1.save("last")
+
+    model2, _ = build_model(hparams)
+    t2 = Trainer(model2, vocab, hparams, weights_dir=str(tmp_path / "w2"),
+                 run_dir=str(tmp_path / "r2"), bf16_compute=False)
+    t2.init_state(sample)
+    # simulate an optimizer refactor: opt_state pytree structure changed
+    t2.state = t2.state.replace(opt_state=(t2.state.opt_state, {"extra": jnp.zeros(())}))
+    with caplog.at_level(logging.WARNING):
+        t2.restore(path)
+    assert any("PARAMS-ONLY" in r.message for r in caplog.records), caplog.records
+    assert int(t2.state.step) == 0
+    np.testing.assert_array_equal(
+        np.asarray(t1.state.params["decoder"]["out_layer"]["kernel"]),
+        np.asarray(t2.state.params["decoder"]["out_layer"]["kernel"]),
+    )
