@@ -100,14 +100,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch dict with batch-dim sharding over 'data'.
-    Arrays whose leading dim isn't divisible by the data axis (remainder
-    eval batches) are replicated instead."""
+
+    Remainder batches (leading dim not divisible by the data axis) are
+    PADDED to divisibility — replicating them instead would run the full
+    batch redundantly on every device, exactly where eval is most
+    expensive. Inputs (x/hw keys) pad by repeating the last sample so
+    padded rows stay numerically benign (an all-invalid memory mask would
+    softmax over -inf); targets (y* keys) pad with zeros so the pad-masked
+    loss ignores them. Consumers drop the extra rows (the eval loop zips
+    decode output against the UNpadded host targets)."""
+    import jax.numpy as jnp
+
     data = mesh.shape["data"]
     sharded = batch_sharding(mesh)
     repl = replicated(mesh)
 
-    def put(x):
-        fits = getattr(x, "ndim", 0) >= 1 and x.shape[0] % data == 0
-        return jax.device_put(x, sharded if fits else repl)
+    def put(key_is_target, x):
+        if getattr(x, "ndim", 0) < 1:
+            return jax.device_put(x, repl)
+        pad = (-x.shape[0]) % data
+        if pad:
+            filler = (
+                jnp.zeros((pad,) + x.shape[1:], x.dtype)
+                if key_is_target
+                else jnp.repeat(x[-1:], pad, axis=0)
+            )
+            x = jnp.concatenate([jnp.asarray(x), filler], axis=0)
+        return jax.device_put(x, sharded)
 
-    return jax.tree.map(put, batch)
+    if isinstance(batch, dict):
+        return {k: jax.tree.map(lambda x, k=k: put(str(k).startswith("y"), x), v)
+                for k, v in batch.items()}
+    return jax.tree.map(lambda x: put(False, x), batch)
