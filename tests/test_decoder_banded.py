@@ -49,14 +49,13 @@ def test_decoder_banded_equals_full():
 
 
 def test_decoder_flash_cross_matches_default(monkeypatch):
-    """use_flash_cross (Pallas, interpret mode on CPU) must match the XLA
-    cross-attention path in deterministic forward."""
-    from omr_a2s_multimodal_transformer_tpu.ops import flash_attention_bwd as fab
+    """use_flash_cross (head-packed Pallas, interpret mode on CPU) must match
+    the XLA cross-attention path in deterministic forward."""
+    from omr_a2s_multimodal_transformer_tpu.ops import flash_packed as fp
 
     # route the cached factory through interpret mode for CPU execution
-    orig = fab.make_flash_attention
-    monkeypatch.setattr(fab, "flash_attention_cached",
-                        lambda **kw: orig(interpret=True, **kw))
+    monkeypatch.setattr(fp, "flash_attention_packed_cached",
+                        lambda **kw: fp.make_flash_attention_packed(interpret=True, **kw))
 
     dec = KernDecoder(vocab_size=V, max_seq_len=16, n_layers=2)
     dec_flash = KernDecoder(vocab_size=V, max_seq_len=16, n_layers=2, use_flash_cross=True)
@@ -67,4 +66,21 @@ def test_decoder_flash_cross_matches_default(monkeypatch):
 
     base = dec.apply(params, ids, mem, mem_valid)
     flash = dec_flash.apply(params, ids, mem, mem_valid)
-    np.testing.assert_allclose(np.asarray(flash), np.asarray(base), atol=3e-4, rtol=1e-4)
+    # bf16 tolerance: the decoder casts flash q/k/v to bfloat16 (TPU dtype
+    # policy); strict f32 kernel parity is covered by tests/test_flash_packed.
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(base), atol=3e-2, rtol=3e-2)
+
+    # Training mode runs attention-weight dropout inside the kernel; the TPU
+    # core PRNG has no CPU/interpret lowering, so this part is TPU-only.
+    if jax.default_backend() != "tpu":
+        return
+
+    def loss(p):
+        out = dec_flash.apply(
+            p, ids, mem, mem_valid, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(7)},
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))

@@ -1,0 +1,97 @@
+"""Packed vs per-head-padded flash attention at flagship cross-attention
+shapes (training: fwd+bwd through custom vjp). VERDICT r1 #5 target:
+packed >= 1.5x the r1 flash throughput at 12.8k-wide memories."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from omr_a2s_multimodal_transformer_tpu.ops.flash_attention_bwd import make_flash_attention
+from omr_a2s_multimodal_transformer_tpu.ops.flash_packed import make_flash_attention_packed
+
+B, H, LQ, LK, DH = 2, 4, 1280, 12696, 64
+PD = H * DH
+
+
+def timeit(f, *args, iters=10):
+    out = f(*args)
+    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1].astype(jnp.float32)))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    dt = jnp.bfloat16
+    q4 = jax.random.normal(key, (B, H, LQ, DH), dt)
+    k4 = jax.random.normal(key, (B, H, LK, DH), dt)
+    v4 = jax.random.normal(key, (B, H, LK, DH), dt)
+    qp = jnp.reshape(jnp.transpose(q4, (0, 2, 1, 3)), (B, LQ, PD))
+    kp = jnp.reshape(jnp.transpose(k4, (0, 2, 1, 3)), (B, LK, PD))
+    vp = jnp.reshape(jnp.transpose(v4, (0, 2, 1, 3)), (B, LK, PD))
+    kv_len = jnp.full((B,), LK, jnp.int32)
+    kv_valid = jnp.ones((B, LK), bool)
+    seed = jnp.int32(3)
+
+    import sys as _sys
+    bq = int(_sys.argv[1]) if len(_sys.argv) > 1 else 128
+    bk = int(_sys.argv[2]) if len(_sys.argv) > 2 else 512
+    old = make_flash_attention(causal=False, window=-1, block_q=bq, block_k=bk)
+    new = make_flash_attention_packed(n_heads=H, causal=False, window=-1, block_q=bq, block_k=bk)
+    new_do = make_flash_attention_packed(n_heads=H, causal=False, window=-1, block_q=bq, block_k=bk, dropout_rate=0.1)
+    print(f"block_q={bq} block_k={bk}")
+
+    @jax.jit
+    def old_fwdbwd(q, k, v):
+        def loss(q, k, v):
+            return jnp.sum(old(q, k, v, kv_len, kv_valid).astype(jnp.float32))
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    @jax.jit
+    def new_fwdbwd(q, k, v):
+        def loss(q, k, v):
+            return jnp.sum(new(q, k, v, kv_len, kv_valid, seed).astype(jnp.float32))
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    @jax.jit
+    def new_fwdbwd_dropout(q, k, v):
+        def loss(q, k, v):
+            return jnp.sum(new_do(q, k, v, kv_len, kv_valid, seed).astype(jnp.float32))
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    t_old = timeit(old_fwdbwd, q4, k4, v4)
+    t_new = timeit(new_fwdbwd, qp, kp, vp)
+    print(f"fwd+bwd old (padded 64->128): {t_old*1e3:7.2f} ms")
+    print(f"fwd+bwd new (head-packed)   : {t_new*1e3:7.2f} ms   ({t_old/t_new:.2f}x)")
+
+    # numerics cross-check at these shapes on the real TPU
+    o_old = old(q4, k4, v4, kv_len, kv_valid)
+    o_new = new(qp, kp, vp, kv_len, kv_valid, seed)
+    o_old_p = jnp.reshape(jnp.transpose(o_old, (0, 2, 1, 3)), (B, LQ, PD))
+    err = float(jnp.max(jnp.abs(o_old_p.astype(jnp.float32) - o_new.astype(jnp.float32))))
+    print(f"max |old-new| fwd: {err:.4e}")
+
+    t_do = timeit(new_fwdbwd_dropout, qp, kp, vp)
+    o_do = new_do(qp, kp, vp, kv_len, kv_valid, seed)
+    frac_changed = float(jnp.mean((o_do != o_new).astype(jnp.float32)))
+    print(f"fwd+bwd new + dropout 0.1   : {t_do*1e3:7.2f} ms; outputs changed frac={frac_changed:.3f}")
+    # determinism: same seed -> same output
+    o_do2 = new_do(qp, kp, vp, kv_len, kv_valid, seed)
+    print(f"dropout deterministic (same seed): {bool(jnp.all(o_do == o_do2))}")
+    o_do3 = new_do(qp, kp, vp, kv_len, kv_valid, jnp.int32(4))
+    print(f"dropout varies with seed: {bool(jnp.any(o_do != o_do3))}")
+
+
+if __name__ == "__main__":
+    main()
