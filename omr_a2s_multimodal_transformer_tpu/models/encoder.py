@@ -34,6 +34,18 @@ def _pair(v) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def _bernoulli_u8(rng, p_keep: float, shape):
+    """Bernoulli(p_keep) from uint8 RNG bits: rng_bit_generator emits u8
+    natively, so the materialized bits tensor (the dominant HBM cost of
+    full-resolution dropout masks) is 1/4 the bytes of the u32/f32 path.
+    Keep probability is quantized to 1/256 — exact for the reference's
+    0.5 and 0.75."""
+    t = int(round(p_keep * 256.0))
+    if t >= 256:
+        return jnp.ones(shape, bool)
+    return jax.random.bits(rng, shape, jnp.uint8) < jnp.uint8(t)
+
+
 class MixDropout(nn.Module):
     """Coin-flip between elementwise dropout(p) and channel dropout(p/2)
     (reference encoder.py:87-104)."""
@@ -59,6 +71,35 @@ class MixDropout(nn.Module):
         keep_c = jax.random.bernoulli(r_chan, 1.0 - self.dropout2d_prob, (b, 1, 1, c))
         f_chan = keep_c.astype(dtype) / (1.0 - self.dropout2d_prob)
         return jnp.where(use_elem, f_elem, f_chan)  # broadcasts f_chan over H, W
+
+    def site_factors(self, shape12, hw3, pos, dtype):
+        """Per-site multiplicative factors for a 3-site positioned dropout.
+
+        Exactly one site is active per block (``pos``); the others multiply
+        by 1.0. Sharing ONE elementwise draw across all three sites leaves
+        the applied distribution unchanged while cutting the dominant HBM
+        cost of training dropout 3x — the u32 RNG-bits tensor materialized
+        at full activation resolution (plus its layout copies). Site 3
+        (post-stride, ``hw3`` spatial dims) uses a corner slice of the same
+        draw.
+        """
+        rng = self.make_rng("dropout")
+        r_coin, r_elem, r_chan = jax.random.split(rng, 3)
+        use_elem = jax.random.bernoulli(r_coin, 0.5)
+        keep_e = _bernoulli_u8(r_elem, 1.0 - self.dropout_prob, shape12)
+        b, c = shape12[0], shape12[-1]
+        keep_c = jax.random.bernoulli(r_chan, 1.0 - self.dropout2d_prob, (b, 1, 1, c))
+        inv_e = jnp.asarray(1.0 / (1.0 - self.dropout_prob), dtype)
+        inv_c = jnp.asarray(1.0 / (1.0 - self.dropout2d_prob), dtype)
+        f_chan = keep_c.astype(dtype) * inv_c
+        one = jnp.ones((), dtype)
+
+        def site(s, keep_slice):
+            f = jnp.where(use_elem, keep_slice.astype(dtype) * inv_e, f_chan)
+            return jnp.where(pos == s, f, one)
+
+        h3, w3 = hw3
+        return site(1, keep_e), site(2, keep_e), site(3, keep_e[:, :h3, :w3, :])
 
 
 class DepthSepConv(nn.Module):
@@ -89,15 +130,21 @@ class DepthSepConv(nn.Module):
         return x
 
 
-def _positioned_dropout(x: jnp.ndarray, site: int, pos: jnp.ndarray, drop: MixDropout, deterministic: bool):
-    """Apply `drop` to x only when the drawn position equals `site`.
-
-    Expressed as one multiply: factor where active, 1.0 elsewhere (a select
-    between two x-sized dropped tensors would double the HBM traffic)."""
+def _block_site_factors(module, drop: MixDropout, x, out_ch, stride, deterministic):
+    """Draw the block's dropout position and the three per-site factors
+    (None when deterministic). One multiply per site: factor where active,
+    1.0 elsewhere (a select between two x-sized dropped tensors would
+    double the HBM traffic)."""
     if deterministic:
-        return x
-    factor = drop.factor(x.shape, x.dtype)
-    return x * jnp.where(pos == site, factor, jnp.ones((), x.dtype))
+        return None, None, None
+    pos = jax.random.randint(module.make_rng("dropout"), (), 1, 4)
+    b, h, w = x.shape[0], x.shape[1], x.shape[2]
+    h3, w3 = -(-h // stride[0]), -(-w // stride[1])
+    return drop.site_factors((b, h, w, out_ch), (h3, w3), pos, x.dtype)
+
+
+def _mul(x, f):
+    return x if f is None else x * f
 
 
 class ConvBlock(nn.Module):
@@ -114,21 +161,14 @@ class ConvBlock(nn.Module):
         k = self.kernel
         pad = ((k // 2, k // 2), (k // 2, k // 2))
         drop = MixDropout(self.dropout, self.dropout / 2)
-        pos = (
-            jax.random.randint(self.make_rng("dropout"), (), 1, 4)
-            if not deterministic
-            else jnp.int32(0)
-        )
+        f1, f2, f3 = _block_site_factors(self, drop, x, self.out_ch, self.stride, deterministic)
         x = nn.Conv(self.out_ch, (k, k), padding=pad, name="conv1")(x)
-        x = nn.relu(x)
-        x = _positioned_dropout(x, 1, pos, drop, deterministic)
+        x = _mul(nn.relu(x), f1)
         x = nn.Conv(self.out_ch, (k, k), padding=pad, name="conv2")(x)
-        x = nn.relu(x)
-        x = _positioned_dropout(x, 2, pos, drop, deterministic)
+        x = _mul(nn.relu(x), f2)
         x = instance_norm(x, eps=1e-3, valid=valid)
         x = nn.Conv(self.out_ch, (3, 3), strides=self.stride, padding=((1, 1), (1, 1)), name="conv3")(x)
-        x = nn.relu(x)
-        x = _positioned_dropout(x, 3, pos, drop, deterministic)
+        x = _mul(nn.relu(x), f3)
         return x
 
 
@@ -143,20 +183,14 @@ class DSCBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True, valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         drop = MixDropout(self.dropout, self.dropout / 2)
-        pos = (
-            jax.random.randint(self.make_rng("dropout"), (), 1, 4)
-            if not deterministic
-            else jnp.int32(0)
-        )
+        f1, f2, f3 = _block_site_factors(self, drop, x, self.out_ch, self.stride, deterministic)
         x = DepthSepConv(self.out_ch, name="conv1")(x)
-        x = nn.relu(x)
-        x = _positioned_dropout(x, 1, pos, drop, deterministic)
+        x = _mul(nn.relu(x), f1)
         x = DepthSepConv(self.out_ch, name="conv2")(x)
-        x = nn.relu(x)
-        x = _positioned_dropout(x, 2, pos, drop, deterministic)
+        x = _mul(nn.relu(x), f2)
         x = instance_norm(x, eps=1e-3, valid=valid)
         x = DepthSepConv(self.out_ch, stride=self.stride, name="conv3")(x)
-        x = _positioned_dropout(x, 3, pos, drop, deterministic)
+        x = _mul(x, f3)
         return x
 
 
