@@ -1,0 +1,82 @@
+"""Serving daemon CLI: load a checkpoint and serve transcription over HTTP.
+
+The reference has no serving entry point; this wraps the dynamic-batching
+server (serving.py) around the jitted end-to-end transcribers.
+
+Example:
+  python -m omr_a2s_multimodal_transformer_tpu.cli.serve \
+    --checkpoint_path weights/grandstaff/image_kern/best \
+    --vocab_path grandstaff/vocabs/ar_w2i_kern.json \
+    --image_height 368 --image_widths 1104,2208,4416 --port 8787
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from omr_a2s_multimodal_transformer_tpu.cli import common
+from omr_a2s_multimodal_transformer_tpu.data.vocab import Vocabulary
+from omr_a2s_multimodal_transformer_tpu.serving import TranscriptionServer, serve_http
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint_path", required=True, help="orbax checkpoint dir")
+    p.add_argument("--vocab_path", required=True, help="vocabs/ar_w2i_<enc>.json")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--image_height", type=int, default=368,
+                   help="padded canvas height (image modality)")
+    p.add_argument("--image_widths", default="1104,2208,4416",
+                   help="comma-separated width bucket ladder (image modality)")
+    p.add_argument("--audio_seconds", default="5,10,19",
+                   help="comma-separated waveform bucket ladder in seconds @22.05kHz (audio)")
+    p.add_argument("--img_height", type=int, default=None,
+                   help="on-device aspect-preserving resize target (reference img_height flag)")
+    p.add_argument("--cache_dtype", default=None, choices=["float32", "bfloat16", "int8"])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--threefry_prng", action="store_true")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    common.init_cli(args)
+    model, params, hp, multimodal = common.build_from_checkpoint(
+        args.checkpoint_path, hparams_override={"cache_dtype": args.cache_dtype}
+    )
+    modality = hp.get("input_modality", "image")
+    if multimodal or modality == "both":
+        raise SystemExit("serving supports unimodal checkpoints; split the multimodal "
+                         "checkpoint first (cli.split_ckpt)")
+    vocab = Vocabulary.load(args.vocab_path)
+    kw = {}
+    if modality == "image":
+        kw["image_height"] = args.image_height
+        kw["image_widths"] = [int(w) for w in args.image_widths.split(",")]
+        kw["img_height"] = args.img_height
+    else:
+        kw["audio_samples"] = [int(float(s) * 22050) for s in args.audio_seconds.split(",")]
+    server = TranscriptionServer(
+        model, {"params": params}, modality, vocab=vocab,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, **kw,
+    )
+    httpd = serve_http(server, host=args.host, port=args.port)
+    print(f"serving {modality} checkpoint {args.checkpoint_path} "
+          f"on http://{args.host}:{httpd.server_address[1]} "
+          f"(POST /transcribe with a raw .npy body; GET /healthz)")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()
