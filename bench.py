@@ -73,6 +73,7 @@ def bench_jax_train(cfg) -> float:
         "max_seq_len": cfg["seq_len"],
         "input_modality": "image",
         "attn_window": cfg["attn_window"],
+        "packed_stem": True,  # lane-packed stem: numerics-equivalent, ~2x step (ops/packed_conv.py)
     }
     model, _ = build_model(hp)
     b = cfg["batch"]
@@ -116,6 +117,7 @@ def bench_jax_e2e(cfg) -> float:
         "input_modality": "image",
         "attn_window": cfg["attn_window"],
         "cache_dtype": cfg["cache_dtype"],
+        "packed_stem": True,
     }
     model, _ = build_model(hp)
     b = cfg["batch"]
@@ -265,6 +267,7 @@ def bench_decode_tokens(cfg) -> float:
         "input_modality": "image",
         "attn_window": cfg["attn_window"],
         "cache_dtype": "bfloat16",
+        "packed_stem": True,
     }
     model, _ = build_model(hp)
     b = cfg["batch"]

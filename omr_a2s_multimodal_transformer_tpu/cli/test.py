@@ -18,6 +18,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input_modality", default="audio", choices=["audio", "image", "both"])
     p.add_argument("--compute_mv2h", action="store_true")
     p.add_argument("--beam_size", type=int, default=1, help=">1: beam search instead of greedy")
+    p.add_argument("--packed_stem", choices=["on", "off"], default=None,
+                   help="override the checkpoint's lane-packed-stem setting (numerics-equivalent; "
+                        "'on' speeds up encode on TPU for checkpoints trained before the flag existed)")
     return p
 
 
@@ -32,7 +35,10 @@ def main(argv=None) -> None:
     dm.setup("test")
     ytest_i2w = dm.test_ds.i2w
 
-    model, params, hp, multimodal = common.build_from_checkpoint(args.checkpoint_path, hparams_override={"cache_dtype": args.cache_dtype})
+    model, params, hp, multimodal = common.build_from_checkpoint(args.checkpoint_path, hparams_override={
+        "cache_dtype": args.cache_dtype,
+        "packed_stem": None if args.packed_stem is None else args.packed_stem == "on",
+    })
     vocab = dm.get_vocab()  # model vocab == collection vocab (shared)
     trainer = Trainer(
         model, vocab, hp,

@@ -39,7 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder blocks (less memory, bigger batches)")
     p.add_argument("--use_flash_cross", action="store_true",
-                   help="Pallas flash cross-attention in training (+17%% at max shapes; no attn-weight dropout)")
+                   help="Pallas flash cross-attention in training (faster at max shapes; in-kernel attn dropout)")
+    p.add_argument("--no_packed_stem", action="store_true",
+                   help="disable the lane-packed (width space-to-depth) conv stem (ops/packed_conv.py); "
+                        "packed is numerically equivalent and ~2x faster on TPU")
     p.add_argument("--weights_dir", default=None, help="default: weights/<ds_name>")
     p.add_argument("--keep_cache", action="store_true",
                    help="keep the preprocess disk cache (reference clears it after training)")
@@ -65,6 +68,7 @@ def main(argv=None) -> None:
         "remat": args.remat,
         "cache_dtype": args.cache_dtype or "bfloat16",
         "use_flash_cross": args.use_flash_cross,
+        "packed_stem": not args.no_packed_stem,
         "krn_encoding": args.krn_encoding,
         "ds_name": args.ds_name,
         "use_distorted_images": args.use_distorted_images,

@@ -25,6 +25,7 @@ def build_model(hparams: Dict) -> Tuple[object, bool]:
         torch_float_parity=hparams.get("torch_float_parity", False),
         cache_dtype=hparams.get("cache_dtype", "float32"),
         use_flash_cross=hparams.get("use_flash_cross", False),
+        packed_stem=hparams.get("packed_stem", False),
     )
     if hparams["input_modality"] == "both":
         return (

@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from omr_a2s_multimodal_transformer_tpu.ops.norm import instance_norm
+from omr_a2s_multimodal_transformer_tpu.ops.norm import instance_norm, instance_norm_packed
+from omr_a2s_multimodal_transformer_tpu.ops.packed_conv import (
+    choose_pack_factor,
+    pack_width,
+    packed_conv,
+)
 
 HEIGHT_REDUCTION = 16
 WIDTH_REDUCTION = 8
@@ -72,7 +77,7 @@ class MixDropout(nn.Module):
         f_chan = keep_c.astype(dtype) / (1.0 - self.dropout2d_prob)
         return jnp.where(use_elem, f_elem, f_chan)  # broadcasts f_chan over H, W
 
-    def site_factors(self, shape12, hw3, pos, dtype):
+    def site_factors(self, shape12, shape3, pos, dtype, ch_groups=1):
         """Per-site multiplicative factors for a 3-site positioned dropout.
 
         Exactly one site is active per block (``pos``); the others multiply
@@ -80,26 +85,39 @@ class MixDropout(nn.Module):
         the applied distribution unchanged while cutting the dominant HBM
         cost of training dropout 3x — the u32 RNG-bits tensor materialized
         at full activation resolution (plus its layout copies). Site 3
-        (post-stride, ``hw3`` spatial dims) uses a corner slice of the same
-        draw.
+        (post-stride, ``shape3`` = (h3, w3, c3) dims) uses a corner slice of
+        the same draw.
+
+        ``ch_groups`` > 1 marks a width-packed activation whose channel dim
+        is (slot, c) with ``c = C/ch_groups`` original channels: the
+        channel-dropout draw is per *original* channel, tiled across slots,
+        so whole feature maps drop together exactly as in the unpacked path.
+        Site 3 may have fewer slots (c3 <= c12); a channel-prefix slice of
+        the tiled factor is the first c3//c slots — still one draw.
         """
         rng = self.make_rng("dropout")
         r_coin, r_elem, r_chan = jax.random.split(rng, 3)
         use_elem = jax.random.bernoulli(r_coin, 0.5)
         keep_e = _bernoulli_u8(r_elem, 1.0 - self.dropout_prob, shape12)
-        b, c = shape12[0], shape12[-1]
+        b, c = shape12[0], shape12[-1] // ch_groups
         keep_c = jax.random.bernoulli(r_chan, 1.0 - self.dropout2d_prob, (b, 1, 1, c))
         inv_e = jnp.asarray(1.0 / (1.0 - self.dropout_prob), dtype)
         inv_c = jnp.asarray(1.0 / (1.0 - self.dropout2d_prob), dtype)
         f_chan = keep_c.astype(dtype) * inv_c
+        if ch_groups > 1:
+            f_chan = jnp.tile(f_chan, (1, 1, 1, ch_groups))
         one = jnp.ones((), dtype)
 
-        def site(s, keep_slice):
-            f = jnp.where(use_elem, keep_slice.astype(dtype) * inv_e, f_chan)
+        def site(s, keep_slice, fch):
+            f = jnp.where(use_elem, keep_slice.astype(dtype) * inv_e, fch)
             return jnp.where(pos == s, f, one)
 
-        h3, w3 = hw3
-        return site(1, keep_e), site(2, keep_e), site(3, keep_e[:, :h3, :w3, :])
+        h3, w3, c3 = shape3
+        return (
+            site(1, keep_e, f_chan),
+            site(2, keep_e, f_chan),
+            site(3, keep_e[:, :h3, :w3, :c3], f_chan[..., :c3]),
+        )
 
 
 class DepthSepConv(nn.Module):
@@ -140,7 +158,7 @@ def _block_site_factors(module, drop: MixDropout, x, out_ch, stride, determinist
     pos = jax.random.randint(module.make_rng("dropout"), (), 1, 4)
     b, h, w = x.shape[0], x.shape[1], x.shape[2]
     h3, w3 = -(-h // stride[0]), -(-w // stride[1])
-    return drop.site_factors((b, h, w, out_ch), (h3, w3), pos, x.dtype)
+    return drop.site_factors((b, h, w, out_ch), (h3, w3, out_ch), pos, x.dtype)
 
 
 def _mul(x, f):
@@ -168,6 +186,75 @@ class ConvBlock(nn.Module):
         x = _mul(nn.relu(x), f2)
         x = instance_norm(x, eps=1e-3, valid=valid)
         x = nn.Conv(self.out_ch, (3, 3), strides=self.stride, padding=((1, 1), (1, 1)), name="conv3")(x)
+        x = _mul(nn.relu(x), f3)
+        return x
+
+
+class _ConvParams(nn.Module):
+    """nn.Conv-compatible parameters (same names, shapes, init) without the
+    conv apply, so ``PackedConvBlock`` shares checkpoint structure with
+    ``ConvBlock`` — a model trained either way loads in the other."""
+
+    features: int
+    in_features: int
+    kernel: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class PackedConvBlock(nn.Module):
+    """``ConvBlock`` computed in width-packed space (``ops/packed_conv.py``):
+    identical parameters and deterministic numerics, ~f_in x better TPU lane
+    utilization for the full-resolution small-channel stages that dominate
+    flagship-step time. Dropout draws happen at packed shapes (identical
+    distribution; channel dropout still drops whole original feature maps)."""
+
+    out_ch: int
+    stride: Tuple[int, int] = (1, 1)
+    f_in: int = 4
+    kernel: int = 3
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, valid: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        # x: [B, H, W/f_in, f_in*ci]; valid (when masked_norm): original [B, H, W]
+        f = self.f_in
+        sh, sw = self.stride
+        f_out = max(1, f // sw)
+        ci = x.shape[-1] // f
+        k = self.kernel
+        w1, b1 = _ConvParams(self.out_ch, ci, (k, k), name="conv1")()
+        w2, b2 = _ConvParams(self.out_ch, self.out_ch, (k, k), name="conv2")()
+        w3, b3 = _ConvParams(self.out_ch, self.out_ch, (3, 3), name="conv3")()
+        f1 = f2 = f3 = None
+        if not deterministic:
+            drop = MixDropout(self.dropout, self.dropout / 2)
+            pos = jax.random.randint(self.make_rng("dropout"), (), 1, 4)
+            b, h, wp = x.shape[0], x.shape[1], x.shape[2]
+            h3 = -(-h // sh)
+            w3p = wp // max(1, f_out * sw // f)
+            f1, f2, f3 = drop.site_factors(
+                (b, h, wp, f * self.out_ch),
+                (h3, w3p, f_out * self.out_ch),
+                pos,
+                x.dtype,
+                ch_groups=f,
+            )
+        x = packed_conv(x, w1.astype(x.dtype), b1, f, f, (1, 1))
+        x = _mul(nn.relu(x), f1)
+        x = packed_conv(x, w2.astype(x.dtype), b2, f, f, (1, 1))
+        x = _mul(nn.relu(x), f2)
+        x = instance_norm_packed(x, f, eps=1e-3, valid=valid)
+        x = packed_conv(x, w3.astype(x.dtype), b3, f, f_out, self.stride)
         x = _mul(nn.relu(x), f3)
         return x
 
@@ -220,6 +307,7 @@ class ConvStemEncoder(nn.Module):
     dropout: float = 0.5
     masked_norm: bool = False
     remat: bool = False
+    packed_stem: bool = False
 
     @nn.compact
     def __call__(
@@ -230,10 +318,19 @@ class ConvStemEncoder(nn.Module):
     ) -> jnp.ndarray:
         # static_argnums counts self as 0 -> 2 == `deterministic`
         conv_block = nn.remat(ConvBlock, static_argnums=(2,)) if self.remat else ConvBlock
+        packed_block = nn.remat(PackedConvBlock, static_argnums=(2,)) if self.remat else PackedConvBlock
         dsc_block = nn.remat(DSCBlock, static_argnums=(2,)) if self.remat else DSCBlock
         v = valid if self.masked_norm else None
+        f = choose_pack_factor(x.shape[2]) if self.packed_stem else 1
+        x = pack_width(x, f)
         for i, (ch, stride) in enumerate(CONV_STAGES):
-            x = conv_block(ch, stride, dropout=self.dropout, name=f"block{i}")(x, deterministic, v)
+            if f > 1:
+                x = packed_block(ch, stride, f_in=f, dropout=self.dropout, name=f"block{i}")(
+                    x, deterministic, v
+                )
+                f = max(1, f // stride[1])
+            else:
+                x = conv_block(ch, stride, dropout=self.dropout, name=f"block{i}")(x, deterministic, v)
             v = _shrink_valid(v, stride)
         for i, (ch, stride) in enumerate(DSC_STAGES):
             xt = dsc_block(ch, stride, dropout=self.dropout, name=f"dsc{i}")(x, deterministic, v)

@@ -80,9 +80,10 @@ class UnimodalTransformer(nn.Module):
     torch_float_parity: bool = False
     cache_dtype: str = "float32"  # decode KV-cache storage (bfloat16 halves decode HBM traffic)
     use_flash_cross: bool = False  # Pallas flash cross-attention in training (wide memories)
+    packed_stem: bool = False  # width space-to-depth conv stem (ops/packed_conv.py)
 
     def setup(self):
-        self.encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, remat=self.remat, name="encoder")
+        self.encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, remat=self.remat, packed_stem=self.packed_stem, name="encoder")
         self.decoder = KernDecoder(
             vocab_size=self.vocab_size,
             max_seq_len=self.max_seq_len,

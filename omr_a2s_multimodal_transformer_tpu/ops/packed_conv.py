@@ -1,0 +1,110 @@
+"""Width space-to-depth ("lane-packed") convolutions for the small-channel
+conv stem.
+
+Why: the reference stem (``/root/reference/src/transformer/encoder.py:241-291``)
+opens with full-resolution convs at 1..64 channels. On TPU, NHWC tensors put
+channels in the 128-wide lane dimension, so C=16 runs the VPU/MXU at 12.5%
+lane utilization — profiling the flagship 361x4412 train step shows blocks
+0-2 at 82-147 GB/s effective (10-18% of HBM) and 71% of total step time.
+
+Fix: repack ``[B, H, W, C] -> [B, H, W/f, f*C]`` (a pure reshape — width
+stays row-major within each packed cell) and run the convs with *exactly
+equivalent* rearranged kernels. The underlying parameters keep their
+reference shapes ``[kh, kw, ci, co]``; the widened kernel is a static
+scatter of those weights computed under jit (tiny), so checkpoints, torch
+import, and param counts are unchanged and gradients flow through the
+scatter. FLOPs grow by ~f per conv but these ops are bandwidth-bound at
+<20% lane utilization, so the net is a large win (the DSC blocks at C>=128
+in the same profile run at >1000 GB/s of counted bytes).
+
+Geometry: an original conv with stride ``sw`` maps a factor-``f_in`` packed
+input to a factor-``f_out`` packed output with packed-space width stride
+``f_out*sw/f_in`` — integral for the stem's ladder f: 4 -> 4 -> 2 -> 1
+(blocks 0,1,2 with strides 1,2,2). Zero padding in packed space represents
+the original conv's zero padding exactly, because collation pads widths to
+multiples of 8 (``data/collate.py:WIDTH_REDUCTION``), so no valid packed
+cell ever contains out-of-image columns.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def choose_pack_factor(width: int, max_factor: int = 4) -> int:
+    """Largest f in {4, 2, 1} (capped at max_factor) dividing ``width``."""
+    for f in (4, 2, 1):
+        if f <= max_factor and width % f == 0:
+            return f
+    return 1
+
+
+def pack_width(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H, W//f, f*C]; channel layout (w-slot, c), c minor."""
+    if f == 1:
+        return x
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // f, f * c)
+
+
+def widen_width_kernel(w: jnp.ndarray, f_in: int, f_out: int, sw: int) -> Tuple[jnp.ndarray, int]:
+    """Rearrange an original HWIO kernel [kh, kw, ci, co] into the packed-space
+    kernel [kh, kw', f_in*ci, f_out*co].
+
+    Packed output column P, slot q_out, corresponds to original column
+    ``ox = P*f_out + q_out``; the original conv reads ``ix = ox*sw + kx - kw//2``
+    which lives in packed column ``P*(f_out*sw/f_in) + dJ`` slot ``q_in`` with
+    ``dJ = u // f_in``, ``q_in = u % f_in``, ``u = q_out*sw + kx - kw//2``.
+    Distinct (kx, q_out) never collide on (dJ, q_in, q_out). Returns the
+    widened kernel and ``dmin`` (most-negative dJ; the packed left pad).
+    """
+    kh, kw, ci, co = w.shape
+    pw = kw // 2
+    offs = [(q * sw + kx - pw) // f_in for q in range(f_out) for kx in range(kw)]
+    dmin, dmax = min(offs), max(offs)
+    big = jnp.zeros((kh, dmax - dmin + 1, f_in * ci, f_out * co), w.dtype)
+    for q in range(f_out):
+        for kx in range(kw):
+            u = q * sw + kx - pw
+            dj, qi = u // f_in - dmin, u % f_in
+            big = big.at[:, dj, qi * ci : (qi + 1) * ci, q * co : (q + 1) * co].set(w[:, kx])
+    return big, dmin
+
+
+def packed_conv(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    f_in: int,
+    f_out: int,
+    stride: Tuple[int, int],
+) -> jnp.ndarray:
+    """Packed-space equivalent of ``nn.Conv(co, (kh, kw), stride, SAME-ish)``.
+
+    x: [B, H, Wp, f_in*ci]; w: original [kh, kw, ci, co]; returns
+    [B, H', Wp', f_out*co] where H'/Wp' match the original conv output
+    packed at f_out. Height behaves exactly as the original (untouched by
+    packing): pad kh//2 both sides, stride sh.
+    """
+    sh, sw = stride
+    kh = w.shape[0]
+    ph = kh // 2
+    s_w = f_out * sw // f_in
+    if s_w * f_in != f_out * sw:
+        raise ValueError(f"non-integral packed stride: f_in={f_in} f_out={f_out} sw={sw}")
+    big, dmin = widen_width_kernel(w, f_in, f_out, sw)
+    wp_in = x.shape[2]
+    w_out = (wp_in * f_in // sw) // f_out  # exact: collate widths are multiples of 8
+    pl = -dmin
+    pr = max((w_out - 1) * s_w + big.shape[1] - pl - wp_in, 0)
+    y = lax.conv_general_dilated(
+        x,
+        big.astype(x.dtype),
+        window_strides=(sh, s_w),
+        padding=((ph, ph), (pl, pr)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + jnp.tile(bias, f_out).astype(y.dtype)

@@ -29,6 +29,7 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--no_flash", action="store_true")
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--packed", action="store_true", help="lane-packed conv stem")
     p.add_argument("--batch", type=int, default=None)
     args = p.parse_args()
     cfg = dict(CONFIGS[args.mode])
@@ -55,6 +56,7 @@ def main():
         "attn_window": 100,
         "remat": cfg["remat"],
         "use_flash_cross": cfg["flash"],
+        "packed_stem": args.packed,
     }
     if cfg["modality"] == "both":
         hp["mixer_type"] = "concat"
