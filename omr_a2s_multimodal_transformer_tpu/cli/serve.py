@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_height", type=int, default=None,
                    help="on-device aspect-preserving resize target (reference img_height flag)")
     p.add_argument("--cache_dtype", default=None, choices=["float32", "bfloat16", "int8"])
+    p.add_argument("--packed_stem", choices=["on", "off"], default=None,
+                   help="override the checkpoint's lane-packed-stem setting (numerics-equivalent)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--threefry_prng", action="store_true")
     return p
@@ -46,7 +48,10 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     common.init_cli(args)
     model, params, hp, multimodal = common.build_from_checkpoint(
-        args.checkpoint_path, hparams_override={"cache_dtype": args.cache_dtype}
+        args.checkpoint_path, hparams_override={
+            "cache_dtype": args.cache_dtype,
+            "packed_stem": None if args.packed_stem is None else args.packed_stem == "on",
+        }
     )
     modality = hp.get("input_modality", "image")
     if multimodal or modality == "both":

@@ -29,6 +29,7 @@ from omr_a2s_multimodal_transformer_tpu.ops.packed_conv import (
     choose_pack_factor,
     pack_width,
     packed_conv,
+    repack_width,
 )
 
 HEIGHT_REDUCTION = 16
@@ -324,13 +325,18 @@ class ConvStemEncoder(nn.Module):
         f = choose_pack_factor(x.shape[2]) if self.packed_stem else 1
         x = pack_width(x, f)
         for i, (ch, stride) in enumerate(CONV_STAGES):
-            if f > 1:
-                x = packed_block(ch, stride, f_in=f, dropout=self.dropout, name=f"block{i}")(
+            # Keep rep channels f*ch near the 128-lane width: more packing
+            # buys no utilization once ch >= 128 and inflates conv FLOPs ~f.
+            f_use = min(f, max(1, 128 // ch))
+            x = repack_width(x, f, f_use)  # pure reshape (f_use divides f)
+            if f_use > 1:
+                x = packed_block(ch, stride, f_in=f_use, dropout=self.dropout, name=f"block{i}")(
                     x, deterministic, v
                 )
-                f = max(1, f // stride[1])
+                f = max(1, f_use // stride[1])
             else:
                 x = conv_block(ch, stride, dropout=self.dropout, name=f"block{i}")(x, deterministic, v)
+                f = 1
             v = _shrink_valid(v, stride)
         for i, (ch, stride) in enumerate(DSC_STAGES):
             xt = dsc_block(ch, stride, dropout=self.dropout, name=f"dsc{i}")(x, deterministic, v)

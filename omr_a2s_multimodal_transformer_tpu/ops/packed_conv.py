@@ -34,9 +34,15 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def choose_pack_factor(width: int, max_factor: int = 4) -> int:
-    """Largest f in {4, 2, 1} (capped at max_factor) dividing ``width``."""
-    for f in (4, 2, 1):
+def choose_pack_factor(width: int, max_factor: int = 8) -> int:
+    """Largest f in {8, 4, 2, 1} (capped at max_factor) dividing ``width``.
+
+    Collated batches always have width a multiple of 8
+    (``data/collate.py:WIDTH_REDUCTION``), so production shapes start at
+    f=8 — 128 rep channels for the 16-channel block0, full lane
+    utilization from the first conv.
+    """
+    for f in (8, 4, 2, 1):
         if f <= max_factor and width % f == 0:
             return f
     return 1
@@ -48,6 +54,16 @@ def pack_width(x: jnp.ndarray, f: int) -> jnp.ndarray:
         return x
     b, h, w, c = x.shape
     return x.reshape(b, h, w // f, f * c)
+
+
+def repack_width(x: jnp.ndarray, f_cur: int, f_new: int) -> jnp.ndarray:
+    """Change pack factor f_cur -> f_new (f_new | f_cur): a pure reshape,
+    since width cells and their slots are adjacent in row-major order."""
+    if f_cur == f_new:
+        return x
+    b, h, wp, fc = x.shape
+    c = fc // f_cur
+    return x.reshape(b, h, wp * f_cur // f_new, f_new * c)
 
 
 def widen_width_kernel(w: jnp.ndarray, f_in: int, f_out: int, sw: int) -> Tuple[jnp.ndarray, int]:

@@ -14,6 +14,7 @@ from omr_a2s_multimodal_transformer_tpu.ops.packed_conv import (
     choose_pack_factor,
     pack_width,
     packed_conv,
+    repack_width,
     widen_width_kernel,
 )
 
@@ -24,7 +25,7 @@ def _rand(key, shape):
 
 @pytest.mark.parametrize(
     "f_in,sw,ci,co,k",
-    [(4, 1, 1, 16, 3), (4, 1, 16, 16, 3), (4, 2, 32, 32, 3), (2, 1, 32, 64, 3), (2, 2, 64, 64, 3), (1, 2, 8, 8, 3)],
+    [(8, 1, 1, 16, 3), (8, 1, 16, 16, 3), (4, 1, 16, 16, 3), (4, 2, 32, 32, 3), (2, 1, 32, 64, 3), (2, 2, 64, 64, 3), (1, 2, 8, 8, 3)],
 )
 def test_packed_conv_matches_lax_conv(f_in, sw, ci, co, k):
     """packed_conv == unpacked lax conv with the original kernel, repacked."""
@@ -128,7 +129,16 @@ def test_packed_stem_training_smoke():
 
 
 def test_choose_pack_factor():
-    assert choose_pack_factor(4412) == 4
-    assert choose_pack_factor(1024) == 4
+    assert choose_pack_factor(4416) == 8  # collated production width (W rounds up to 8s)
+    assert choose_pack_factor(4412) == 4  # raw (uncollated) max width
+    assert choose_pack_factor(1024) == 8
     assert choose_pack_factor(22) == 2
     assert choose_pack_factor(21) == 1
+
+
+def test_repack_width_roundtrip():
+    x = jnp.arange(2 * 3 * 16 * 5, dtype=jnp.float32).reshape(2, 3, 16, 5)
+    p8 = pack_width(x, 8)
+    p4 = repack_width(p8, 8, 4)
+    np.testing.assert_array_equal(np.asarray(p4), np.asarray(pack_width(x, 4)))
+    np.testing.assert_array_equal(np.asarray(repack_width(p4, 4, 1)), np.asarray(x))

@@ -16,9 +16,9 @@ CONFIGS = {
     # bench config (r2: 229.4 samples/s)
     "bench": dict(modality="image", b=16, ih=128, iw=1024, L=256, remat=False, flash=False),
     # unimodal image at true max shapes
-    "image": dict(modality="image", b=4, ih=361, iw=4412, L=1268, remat=True, flash=False),
+    "image": dict(modality="image", b=4, ih=361, iw=4416, L=1268, remat=True, flash=False),
     # flagship multimodal at true max shapes (r2: 6.18 samples/s)
-    "multimodal": dict(modality="both", b=2, ih=361, iw=4412, L=1268, remat=True, flash=True),
+    "multimodal": dict(modality="both", b=2, ih=361, iw=4416, L=1268, remat=True, flash=True),  # collated width (mult of 8)
 }
 
 
