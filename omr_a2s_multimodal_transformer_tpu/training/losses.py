@@ -11,9 +11,21 @@ def cross_entropy_ignore_pad(logits: jnp.ndarray, targets: jnp.ndarray, pad_id: 
     matching ``CrossEntropyLoss(ignore_index=PAD)`` (reference model.py:109).
 
     logits: [B, L, V] (any float dtype; log-softmax in f32); targets: [B, L].
+
+    Written as fused reductions (nll = lse - logit[target]) rather than
+    ``log_softmax`` + gather: materializing the [B, L, V] f32 log-prob
+    tensor for a per-row gather ran at 62 GB/s effective in the flagship
+    trace (11 ms/step at b4, L=1268, V=6997). Here every [B, L, V]
+    intermediate (convert, exp, one-hot select) fuses into a reduction
+    pass over the bf16 logits, so only [B, L] tensors reach HBM in the
+    forward; the backward's only big write is the unavoidable d_logits.
     """
-    logits = logits.astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    xf = logits.astype(jnp.float32)  # fuses into the reduces below, not materialized
+    t = targets.astype(jnp.int32)
+    m = jnp.max(xf, axis=-1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(xf - m[..., None]), axis=-1))
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
+    tgt_logit = jnp.sum(jnp.where(v_iota == t[..., None], xf, 0.0), axis=-1)
+    nll = lse - tgt_logit
     mask = (targets != pad_id).astype(jnp.float32)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
