@@ -38,11 +38,13 @@ TRAIN_CONFIG = {
     "attn_window": 100,
     "steps": 10,
 }
-# True GRANDSTAFF maxima (reference grandstaff/max_lens/ImgDist_ar_w2i_kern.json)
+# True GRANDSTAFF maxima (reference grandstaff/max_lens/ImgDist_ar_w2i_kern.json);
+# width is the COLLATED production shape: data/collate.py pads widths to
+# multiples of 8, so the 4412-px max image runs at 4416 in every real batch.
 E2E_CONFIG = {
     "batch": 8,
     "height": 361,
-    "width": 4412,
+    "width": 4416,
     "seq_len": 1268,
     "vocab": 6997,
     "attn_window": 100,

@@ -47,6 +47,7 @@ def main():
     import sys as _sys
     bq = int(_sys.argv[1]) if len(_sys.argv) > 1 else 128
     bk = int(_sys.argv[2]) if len(_sys.argv) > 2 else 512
+    new_only = len(_sys.argv) > 3 and _sys.argv[3] == "new"
     old = make_flash_attention(causal=False, window=-1, block_q=bq, block_k=bk)
     new = make_flash_attention_packed(n_heads=H, causal=False, window=-1, block_q=bq, block_k=bk)
     new_do = make_flash_attention_packed(n_heads=H, causal=False, window=-1, block_q=bq, block_k=bk, dropout_rate=0.1)
@@ -70,10 +71,14 @@ def main():
             return jnp.sum(new_do(q, k, v, kv_len, kv_valid, seed).astype(jnp.float32))
         return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
-    t_old = timeit(old_fwdbwd, q4, k4, v4)
     t_new = timeit(new_fwdbwd, qp, kp, vp)
-    print(f"fwd+bwd old (padded 64->128): {t_old*1e3:7.2f} ms")
-    print(f"fwd+bwd new (head-packed)   : {t_new*1e3:7.2f} ms   ({t_old/t_new:.2f}x)")
+    print(f"fwd+bwd new (head-packed)   : {t_new*1e3:7.2f} ms")
+    if new_only:
+        t_do = timeit(new_fwdbwd_dropout, qp, kp, vp)
+        print(f"fwd+bwd new + dropout 0.1   : {t_do*1e3:7.2f} ms")
+        return
+    t_old = timeit(old_fwdbwd, q4, k4, v4)
+    print(f"fwd+bwd old (padded 64->128): {t_old*1e3:7.2f} ms   (new = {t_old/t_new:.2f}x old)")
 
     # numerics cross-check at these shapes on the real TPU
     o_old = old(q4, k4, v4, kv_len, kv_valid)
