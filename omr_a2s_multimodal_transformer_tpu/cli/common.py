@@ -42,7 +42,7 @@ def add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--threefry_prng", action="store_true",
                    help="use threefry instead of the faster rbg PRNG")
     p.add_argument("--cache_dtype", default=None,
-                   choices=["float32", "bfloat16", "int8"],
+                   choices=["float32", "bfloat16", "int8", "int4"],
                    help="override the decode KV-cache dtype from the checkpoint "
                         "hparams; int8 quantizes the (write-once) cross K/V "
                         "per-channel and halves decode HBM traffic vs bfloat16")

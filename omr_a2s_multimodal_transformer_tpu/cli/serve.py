@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated waveform bucket ladder in seconds @22.05kHz (audio)")
     p.add_argument("--img_height", type=int, default=None,
                    help="on-device aspect-preserving resize target (reference img_height flag)")
-    p.add_argument("--cache_dtype", default=None, choices=["float32", "bfloat16", "int8"])
+    p.add_argument("--cache_dtype", default=None, choices=["float32", "bfloat16", "int8", "int4"])
     p.add_argument("--packed_stem", choices=["on", "off"], default=None,
                    help="override the checkpoint's lane-packed-stem setting (numerics-equivalent)")
     p.add_argument("--seed", type=int, default=42)

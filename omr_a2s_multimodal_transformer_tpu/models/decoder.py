@@ -204,9 +204,10 @@ class KernDecoder(nn.Module):
     attn_window: int = -1  # <=0: plain causal
     # Storage dtype for decode-time KV caches + cross K/V. Every decode step
     # re-reads these from HBM (the decode bandwidth floor); bfloat16 halves
-    # that traffic, "int8" halves it again (per-channel quantized cross K/V;
-    # self ring cache stays bf16). float32 keeps bit-exact full-forward
-    # equivalence.
+    # that traffic, "int8" halves it again and "int4" once more (per-channel
+    # quantized cross K/V; self ring cache stays bf16). float32 keeps
+    # bit-exact full-forward equivalence; int4 trades a little logit
+    # accuracy for the lowest decode bandwidth floor.
     cache_dtype: str = "float32"
     # Flash cross-attention in the full-sequence forward (training): avoids
     # [L, S] logits against wide memories. Implies -inf pad semantics (not
@@ -304,7 +305,7 @@ class KernDecoder(nn.Module):
         # the self ring cache is small and appended every step, so it stays
         # bfloat16 (requantizing a running ring would drift).
         dtype = dtype or (
-            jnp.bfloat16 if self.cache_dtype == "int8" else jnp.dtype(self.cache_dtype)
+            jnp.bfloat16 if self.cache_dtype in ("int8", "int4") else jnp.dtype(self.cache_dtype)
         )
         shape = (batch, self.cache_len, self.d_model)
         return {
@@ -315,19 +316,23 @@ class KernDecoder(nn.Module):
     def prefill(self, memory: jnp.ndarray) -> Dict[str, Any]:
         """Precompute per-layer cross-attention K/V from the memory.
 
-        cache_dtype="int8": per-(batch, channel) symmetric quantization;
-        entries carry {"k","v","k_scale","v_scale"} and every decode step
-        reads half the bytes of bf16 (the flagship decode bandwidth floor).
+        cache_dtype="int8"/"int4": per-(batch, channel) symmetric
+        quantization; entries carry {"k","v","k_scale","v_scale"} and every
+        decode step reads 1/2 (int8) or 1/4 (int4) the bytes of bf16 (the
+        flagship decode bandwidth floor). int4 packs two values per byte
+        natively on TPU (XLA s4 tiling).
         """
-        if self.cache_dtype == "int8":
+        if self.cache_dtype in ("int8", "int4"):
+            qmax = 127.0 if self.cache_dtype == "int8" else 7.0
+            store = jnp.int8 if self.cache_dtype == "int8" else jnp.int4
             out = {}
             for i, layer in enumerate(self.layers):
                 entry = {}
                 for name, t in zip(("k", "v"), layer.cross_kv(memory)):
                     t = t.astype(jnp.float32)
-                    s = jnp.maximum(jnp.max(jnp.abs(t), axis=1), 1e-8) / 127.0  # [B, D]
+                    s = jnp.maximum(jnp.max(jnp.abs(t), axis=1), 1e-8) / qmax  # [B, D]
                     entry[name] = (
-                        jnp.clip(jnp.round(t / s[:, None, :]), -127, 127).astype(jnp.int8)
+                        jnp.clip(jnp.round(t / s[:, None, :]), -qmax, qmax).astype(store)
                     )
                     entry[f"{name}_scale"] = s
                 out[f"layer{i}"] = entry

@@ -86,8 +86,8 @@ def attend_packed_single_query(
     takes the h-th Dh-block of row h. Measured 8.1 -> ~1.3 ms/step at
     b8/S=12696/8-layers (vs the 1.19 ms/step pure-KV-read floor).
 
-    Int8 KV (k_scale/v_scale given): storage is per-(batch, channel)
-    symmetric int8; the K scales fold into q before the dot and the V
+    Int8/int4 KV (k_scale/v_scale given): storage is per-(batch, channel)
+    symmetric int8 (or TPU-native s4, two values per byte); the K scales fold into q before the dot and the V
     scales fold into the output after it, so the big arrays are read as
     int8 and converted in-register (XLA fuses the convert into the dot —
     measured 0.62 ms/step vs 1.19 bf16 at b8/S=12.7k/8-layers).
@@ -95,7 +95,7 @@ def attend_packed_single_query(
     b, s, d = k_packed.shape
     dh = d // n_heads
     scale = 1.0 / float(dh) ** 0.5
-    dt = jnp.bfloat16 if k_packed.dtype == jnp.int8 else k_packed.dtype
+    dt = jnp.bfloat16 if jnp.issubdtype(k_packed.dtype, jnp.integer) else k_packed.dtype
     qf = q.astype(jnp.float32)
     if k_scale is not None:
         qf = qf * k_scale.astype(jnp.float32)

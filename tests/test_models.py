@@ -153,3 +153,9 @@ def test_int8_kv_cache_close_to_f32():
     err = np.abs(l8 - lf).max()
     spread = lf.std()
     assert err < 0.12 * spread, (err, spread)
+    # int4 (TPU-native s4, two values/byte): coarser but still bounded
+    m4 = UnimodalTransformer(vocab_size=V, max_seq_len=MAXLEN, cache_dtype="int4")
+    l4 = roll(m4)
+    err4 = np.abs(l4 - lf).max()
+    assert err4 < 0.6 * spread, (err4, spread)
+    assert err4 > 0  # actually quantized, not silently falling back

@@ -39,6 +39,7 @@ def build_server(modality: str, max_batch: int, max_wait_ms: float, cache_dtype:
         "input_modality": modality,
         "attn_window": 100,
         "cache_dtype": cache_dtype,
+        "packed_stem": True,  # production default (lane-packed stem)
     }
     model, _ = build_model(hp)
     if modality == "image":

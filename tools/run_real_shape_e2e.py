@@ -79,7 +79,9 @@ def main():
     p.add_argument("--check_val_every_n_epoch", type=int, default=2)
     p.add_argument("--train_n", type=int, default=48,
                    help="samples per split (the synthetic source uses the same n for all splits)")
-    p.add_argument("--image_batch", type=int, default=4)
+    p.add_argument("--image_batch", type=int, default=8)  # lane-packed stem: b8 fits in <6 GB
+    p.add_argument("--width_buckets", type=int, default=1,
+                   help=">1: geometric width-bucket ladder (cuts padded-FLOP waste on narrow systems)")
     p.add_argument("--audio_batch", type=int, default=16)
     p.add_argument("--eval_batch", type=int, default=8)
     p.add_argument("--workdir", default="runs/real_shape_e2e")
@@ -99,6 +101,7 @@ def main():
         "--cache_root", cache_root,
         "--eval_batch_size", str(args.eval_batch),
         "--num_workers", "8",
+        "--width_buckets", str(args.width_buckets),
     ]
     report = {"stages": {}, "config": vars(args)}
 
