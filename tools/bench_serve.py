@@ -128,7 +128,7 @@ def main():
     p.add_argument("--requests", type=int, default=4, help="per client")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=30.0)
-    p.add_argument("--cache_dtype", default="bfloat16", choices=["bfloat16", "int8"])
+    p.add_argument("--cache_dtype", default="bfloat16", choices=["bfloat16", "int8", "int4"])
     args = p.parse_args()
     modes = ["image", "audio"] if args.mode == "all" else [args.mode]
     for m in modes:
