@@ -140,9 +140,14 @@ class DecoderLayer(nn.Module):
             else:
                 seed = jnp.int32(0)
             # block_k=1024 amortizes per-block overhead against wide memories
-            # (measured ~20% faster than 512 at 12.7k keys on v5e).
-            flash = flash_packed.flash_attention_packed_cached(
-                n_heads=self.n_heads, dropout_rate=rate, block_q=256, block_k=1024
+            # (measured ~20% faster than 512 at 12.7k keys on v5e; larger
+            # blocks exceed the 16 MB scoped-VMEM limit). _auto shard_maps
+            # over an ambient mesh (dp batch + tp head sharding); interpret
+            # mode makes the path runnable on CPU (tests, multichip dryrun).
+            flash = flash_packed.flash_attention_packed_auto(
+                n_heads=self.n_heads, dh=self.d_model // self.n_heads,
+                batch=qp.shape[0], dropout_rate=rate, block_q=256, block_k=1024,
+                interpret=jax.default_backend() == "cpu",
             )
             h = self.cross_attn.out_proj(flash(qp, kp, vp, kv_len, kv_valid, seed))
         else:
