@@ -44,8 +44,9 @@ def add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cache_dtype", default=None,
                    choices=["float32", "bfloat16", "int8", "int4"],
                    help="override the decode KV-cache dtype from the checkpoint "
-                        "hparams; int8 quantizes the (write-once) cross K/V "
-                        "per-channel and halves decode HBM traffic vs bfloat16")
+                        "hparams; int8/int4 quantize the (write-once) cross K/V "
+                        "per-channel to 1/2 / 1/4 the bfloat16 decode HBM traffic "
+                        "(int4 is fastest, with a coarser bounded logit error)")
 
 
 def make_datamodule(args, input_modality: str) -> ARDataModule:

@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_height", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--cache_dtype", default=None, choices=["float32", "bfloat16", "int8", "int4"],
-                   help="override decode KV-cache dtype (int8 halves decode HBM traffic)")
+                   help="override decode KV-cache dtype (int8/int4: 1/2 / 1/4 the bf16 decode HBM traffic)")
     return p
 
 

@@ -306,9 +306,9 @@ class KernDecoder(nn.Module):
 
     def init_cache(self, batch: int, dtype=None) -> Dict[str, Any]:
         # Head-packed [B, cache_len, D] (same layout rationale as cross_kv).
-        # int8 cache_dtype applies to the (large, write-once) cross K/V only;
-        # the self ring cache is small and appended every step, so it stays
-        # bfloat16 (requantizing a running ring would drift).
+        # int8/int4 cache_dtype applies to the (large, write-once) cross K/V
+        # only; the self ring cache is small and appended every step, so it
+        # stays bfloat16 (requantizing a running ring would drift).
         dtype = dtype or (
             jnp.bfloat16 if self.cache_dtype in ("int8", "int4") else jnp.dtype(self.cache_dtype)
         )
