@@ -48,15 +48,10 @@ def test_decoder_banded_equals_full():
     np.testing.assert_allclose(np.asarray(banded)[1], np.asarray(full)[1], atol=3e-4, rtol=1e-4)
 
 
-def test_decoder_flash_cross_matches_default(monkeypatch):
+def test_decoder_flash_cross_matches_default():
     """use_flash_cross (head-packed Pallas, interpret mode on CPU) must match
-    the XLA cross-attention path in deterministic forward."""
-    from omr_a2s_multimodal_transformer_tpu.ops import flash_packed as fp
-
-    # route the cached factory through interpret mode for CPU execution
-    monkeypatch.setattr(fp, "flash_attention_packed_cached",
-                        lambda **kw: fp.make_flash_attention_packed(interpret=True, **kw))
-
+    the XLA cross-attention path in deterministic forward. The decoder now
+    auto-selects interpret mode on CPU backends, so no monkeypatch needed."""
     dec = KernDecoder(vocab_size=V, max_seq_len=16, n_layers=2)
     dec_flash = KernDecoder(vocab_size=V, max_seq_len=16, n_layers=2, use_flash_cross=True)
     ids = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 1, V)
