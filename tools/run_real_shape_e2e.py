@@ -123,7 +123,9 @@ def main():
           "--epochs", str(args.epochs), "--patience", "5",
           "--check_val_every_n_epoch", str(args.check_val_every_n_epoch),
           "--batch_size", str(args.image_batch),
-          "--remat", "--use_flash_cross", "--keep_cache",
+          # no --remat: the lane-packed stem fits b8 image activations
+          # (multimodal b8 peaks at 12.8 GB without remat and is ~15% faster)
+          "--use_flash_cross", "--keep_cache",
           "--weights_dir", img_dir,
           "--run_dir", os.path.join(args.workdir, "runs", "image"))
 
