@@ -2,7 +2,7 @@
 
 Shapes use head-split layout [B, L, H, Dh]. Masks are additive [.., Lq, Lk]
 broadcastable to [B, H, Lq, Lk]. The Pallas flash kernel in
-``ops/flash_attention.py`` is a drop-in for the softmax(QK^T)V part on TPU;
+``ops/flash_packed.py`` is a drop-in for the softmax(QK^T)V part on TPU;
 this module is the reference implementation and the autodiff path.
 """
 

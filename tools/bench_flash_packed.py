@@ -14,7 +14,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from omr_a2s_multimodal_transformer_tpu.ops.flash_attention_bwd import make_flash_attention
+from tools.legacy_flash.flash_attention_bwd import make_flash_attention
 from omr_a2s_multimodal_transformer_tpu.ops.flash_packed import make_flash_attention_packed
 
 B, H, LQ, LK, DH = 2, 4, 1280, 12696, 64
