@@ -250,12 +250,12 @@ class PackedConvBlock(nn.Module):
                 x.dtype,
                 ch_groups=f,
             )
-        x = packed_conv(x, w1.astype(x.dtype), b1, f, f, (1, 1))
+        x = packed_conv(x, w1, b1, f, f, (1, 1))
         x = _mul(nn.relu(x), f1)
-        x = packed_conv(x, w2.astype(x.dtype), b2, f, f, (1, 1))
+        x = packed_conv(x, w2, b2, f, f, (1, 1))
         x = _mul(nn.relu(x), f2)
         x = instance_norm_packed(x, f, eps=1e-3, valid=valid)
-        x = packed_conv(x, w3.astype(x.dtype), b3, f, f_out, self.stride)
+        x = packed_conv(x, w3, b3, f, f_out, self.stride)
         x = _mul(nn.relu(x), f3)
         return x
 

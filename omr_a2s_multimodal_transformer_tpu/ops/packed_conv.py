@@ -115,10 +115,23 @@ def packed_conv(
     wp_in = x.shape[2]
     w_out = (wp_in * f_in // sw) // f_out  # exact: collate widths are multiples of 8
     pl = -dmin
-    pr = max((w_out - 1) * s_w + big.shape[1] - pl - wp_in, 0)
+    pr = (w_out - 1) * s_w + big.shape[1] - pl - wp_in
+    # A negative right pad would make lax.conv emit MORE than w_out columns
+    # silently; it cannot occur on the validated stem ladder (f 8->4->2->1),
+    # so fail loudly on any future geometry outside it (advisor r2 finding).
+    if pr < 0:
+        raise ValueError(
+            f"packed_conv geometry yields negative right pad {pr} "
+            f"(f_in={f_in}, f_out={f_out}, stride={stride}, kernel={w.shape}, wp_in={wp_in})"
+        )
+    # Promote like nn.Conv does (activations x params): under a mixed
+    # f32-params / bf16-activations caller the packed and unpacked stems
+    # must stay numerically equivalent (advisor r2 finding). Callers that
+    # cast params with activations (make_train_step) see no change.
+    dt = jnp.promote_types(x.dtype, w.dtype)
     y = lax.conv_general_dilated(
-        x,
-        big.astype(x.dtype),
+        x.astype(dt),
+        big.astype(dt),
         window_strides=(sh, s_w),
         padding=((ph, ph), (pl, pr)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -116,6 +116,11 @@ class TranscriptionServer:
             self.audio_samples = tuple(sorted(round_up(int(n), HOP_LENGTH) for n in audio_samples))
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._stats_lock = threading.Lock()
+        # Serializes submit vs stop: without it, a submit that passes the
+        # _stopped check while stop() enqueues the None sentinel can land
+        # AFTER the sentinel — the worker exits and the caller's
+        # future.result() blocks forever (advisor r2 finding).
+        self._lifecycle_lock = threading.Lock()
         self._batches: Dict[Tuple[int, int], int] = {}  # (bucket, batch) -> count
         self._worker = threading.Thread(target=self._run, name="transcription-server", daemon=True)
         self._stopped = False
@@ -141,16 +146,30 @@ class TranscriptionServer:
                                  f"bucket ({self.audio_samples[-1]})")
             payload = payload.astype(np.float32)
         req = _Request(payload)
-        self._q.put(req)
+        with self._lifecycle_lock:
+            if self._stopped:
+                raise RuntimeError("server is stopped")
+            self._q.put(req)
         return req.future
 
     def transcribe(self, payload: np.ndarray, timeout: Optional[float] = None) -> Result:
         return self.submit(payload).result(timeout=timeout)
 
     def stop(self) -> None:
-        self._stopped = True
-        self._q.put(None)
+        with self._lifecycle_lock:
+            if self._stopped:
+                return
+            self._stopped = True
+            self._q.put(None)  # FIFO: every already-queued request precedes it
         self._worker.join()
+        # Defensive drain: fail any stray entries instead of hanging waiters.
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.future.done():
+                req.future.set_exception(RuntimeError("server stopped"))
 
     def batch_stats(self) -> Dict[str, int]:
         """(bucket, batch) -> number of device calls issued (observability)."""
