@@ -125,8 +125,125 @@ def synthetic_kern(rng: np.random.Generator, n_measures: int = 4, notes_per_meas
     return "\n".join(lines) + "\n"
 
 
+import re as _re
+
+_NOTE_RE = _re.compile(r"^(\d+)([a-gA-G]+)([#-]?)$")
+
+
+def _parse_kern_events(transcript: str):
+    """Parse a ``synthetic_kern`` score into a flat event list.
+
+    Returns [(kind, payload)]: kind 'bar' (payload None) or 'notes'
+    (payload = list over the two voices of lists of (dur:int,
+    pitch_rank:int, acc:-1/0/+1); empty list = rest '.')."""
+    events = []
+    for line in transcript.strip().splitlines():
+        if line.startswith(("**", "*")):
+            continue
+        cols = line.split("\t")
+        if cols[0].startswith("="):
+            events.append(("bar", None))
+            continue
+        voices = []
+        for col in cols:
+            notes = []
+            if col != ".":
+                for tok in col.split(" "):
+                    m = _NOTE_RE.match(tok)
+                    if m:
+                        dur = int(m.group(1))
+                        pitch = m.group(2)
+                        rank = _PITCHES.index(pitch) if pitch in _PITCHES else 0
+                        acc = {"#": 1, "-": -1}.get(m.group(3), 0)
+                        notes.append((dur, rank, acc))
+            voices.append(notes)
+        events.append(("notes", voices))
+    return events
+
+
+def render_score_image(transcript: str, h: int, w: int) -> np.ndarray:
+    """CONTENT-DETERMINISTIC toy notation: every kern token is legible from
+    the pixels, so a correct model can actually generalize on the synthetic
+    corpus (val/test use different generator seeds than train —
+    convergence-to-good-SER runs depend on this; a purely random image
+    would make generalization impossible regardless of model quality).
+
+    Layout: one column span per event (barlines = full-height vertical
+    lines). Two voice bands (voice 0 bottom, voice 1 top), 5 faint staff
+    lines each. A note is a filled blob whose VERTICAL position encodes the
+    pitch rank, whose SIZE encodes the duration class (2,4,8,16), and an
+    accidental tick above (#) or below (-) the blob."""
+    img = np.full((h, w), 255, dtype=np.uint8)
+    events = _parse_kern_events(transcript)
+    if not events:
+        return img
+    n_v = 2
+    band_h = h // n_v
+    for v in range(n_v):
+        top = h - (v + 1) * band_h  # voice 0 = bottom band
+        for line in range(5):
+            y = top + int(band_h * (0.2 + 0.15 * line))
+            img[y : y + 1, :] = 200  # faint staff
+    dx = max(1, w // max(1, len(events)))
+    dur_to_size = {2: 4, 4: 3, 8: 2, 16: 1}
+    for e, (kind, payload) in enumerate(events):
+        x = min(e * dx + dx // 2, w - 2)
+        if kind == "bar":
+            img[:, x : x + max(1, dx // 8 + 1)] = 0
+            continue
+        for v, notes in enumerate(payload):
+            top = h - (v + 1) * band_h
+            for dur, rank, acc in notes:
+                # pitch rank -> y within the band (high rank = high pitch = up)
+                frac = 0.85 - 0.7 * rank / max(1, len(_PITCHES) - 1)
+                cy = top + int(band_h * frac)
+                r = dur_to_size.get(dur, 2)
+                r = max(1, min(r, band_h // 6 + 1))
+                y0, y1 = max(0, cy - r), min(h, cy + r)
+                x0, x1 = max(0, x - r), min(w, x + r)
+                img[y0:y1, x0:x1] = 0
+                if acc and y0 - 2 >= 0 and y1 + 2 <= h:
+                    if acc > 0:
+                        img[y0 - 2 : y0 - 1, x0:x1] = 0  # sharp: tick above
+                    else:
+                        img[y1 + 1 : y1 + 2, x0:x1] = 0  # flat: tick below
+    return img
+
+
+def render_score_audio(transcript: str, secs: float, sr: int = 22050) -> np.ndarray:
+    """Content-deterministic audio: each event occupies an equal time slot;
+    every note contributes a tone whose FREQUENCY encodes (voice, pitch
+    rank) and whose on-fraction of the slot encodes the duration class.
+    Barlines are a short broadband click."""
+    n = int(sr * secs)
+    t = np.arange(n) / sr
+    wave = np.zeros(n, dtype=np.float32)
+    events = _parse_kern_events(transcript)
+    if not events:
+        return wave
+    slot = secs / len(events)
+    dur_to_frac = {2: 1.0, 4: 0.75, 8: 0.5, 16: 0.3}
+    for e, (kind, payload) in enumerate(events):
+        t0 = e * slot
+        i0 = int(t0 * sr)
+        if kind == "bar":
+            i1 = min(n, i0 + max(1, int(0.01 * sr)))
+            wave[i0:i1] += 0.3 * np.sign(np.sin(2 * np.pi * 3000 * t[i0:i1])).astype(np.float32)
+            continue
+        for v, notes in enumerate(payload):
+            for dur, rank, acc in notes:
+                f0 = 110.0 * (2.0 ** (v + (rank + 0.5 * acc) / 12.0))
+                i1 = min(n, i0 + max(1, int(slot * dur_to_frac.get(dur, 0.5) * sr)))
+                wave[i0:i1] += 0.15 * np.sin(2 * np.pi * f0 * t[i0:i1]).astype(np.float32)
+    return wave
+
+
 class SyntheticSource:
-    """Deterministic miniature multimodal corpus (images + audio + kern)."""
+    """Deterministic miniature multimodal corpus (images + audio + kern).
+
+    Rendering is CONTENT-DETERMINISTIC (see render_score_image /
+    render_score_audio): the inputs encode the transcript, so train/val
+    splits with different seeds measure true generalization."""
 
     def __init__(
         self,
@@ -161,22 +278,9 @@ class SyntheticSource:
         rng = np.random.default_rng(self.seed * 100003 + idx + 7919)
         h = int(rng.integers(*self.img_height_range))
         w = int(rng.integers(*self.img_width_range))
-        # White page with staff lines and note blobs.
-        img = np.full((h, w), 255, dtype=np.uint8)
-        for line in range(5):
-            y = int(h * (0.3 + 0.08 * line))
-            img[y : y + 1, :] = 0
-        for _ in range(10):
-            cy, cx = int(rng.integers(4, h - 4)), int(rng.integers(4, w - 4))
-            img[cy - 2 : cy + 2, cx - 2 : cx + 2] = 0
-        # Sine-mixture audio at 22.05 kHz.
+        img = render_score_image(transcript, h, w)
         secs = float(rng.uniform(*self.audio_seconds_range))
-        t = np.arange(int(22050 * secs)) / 22050.0
-        wave = np.zeros_like(t, dtype=np.float32)
-        for _ in range(4):
-            f0 = float(rng.uniform(110, 880))
-            on = float(rng.uniform(0, secs * 0.5))
-            wave += (0.2 * np.sin(2 * np.pi * f0 * t) * (t >= on)).astype(np.float32)
+        wave = render_score_audio(transcript, secs)
         return {
             "transcript": transcript,
             "image": Image.fromarray(img),
@@ -199,6 +303,13 @@ def make_source(
     """Source factory: synthetic -> local directory -> HF Hub."""
     if synthetic or ds_name == "synthetic":
         kw = dict(synthetic_kwargs or {})
+        # Optional per-split sizes: long convergence runs want a big train
+        # split but cheap val/test decodes (n_val/n_test override n).
+        n_val, n_test = kw.pop("n_val", None), kw.pop("n_test", None)
+        if split == "val" and n_val is not None:
+            kw["n"] = n_val
+        if split == "test" and n_test is not None:
+            kw["n"] = n_test
         kw.setdefault("encoding", encoding)
         kw.setdefault("seed", {"train": 1, "val": 2, "test": 3}[split])
         return SyntheticSource(**kw)

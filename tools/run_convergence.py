@@ -1,0 +1,154 @@
+"""Production-recipe convergence run on synthetic data (VERDICT r2 #3).
+
+The one way (absent real GRANDSTAFF data — zero egress) to catch subtle
+numerics bugs in the round-2 fast paths: train the FULL production recipe
+— lane-packed stem + Pallas flash-cross attention + dropout 0.1 +
+attn_window 100 + bf16, b8, no remat — at real GRANDSTAFF shapes
+(361x4412-px images, vocab 6,997, L=1268) on a content-deterministic
+synthetic corpus (data/sources.py render_score_image: pixels encode the
+tokens, so val/test with DIFFERENT generator seeds measure true
+generalization), for hundreds of epochs, and require:
+
+  (a) train loss -> ~0,
+  (b) val/test SER descending to a clearly-good value,
+  (c) the first-N-epoch loss trajectory matching a no-flash / no-packing
+      control run (the reference-identical slow path) within tolerance.
+
+Writes runs/convergence/report.json with both trajectories and the
+comparison. Usage:
+  python tools/run_convergence.py [--epochs 300] [--train_n 256] [--smoke]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.run_real_shape_e2e import seed_caches  # noqa: E402
+
+
+def synth_cfg(n: int, n_eval: int, smoke: bool) -> str:
+    if smoke:
+        return json.dumps({
+            "n": n, "n_val": n_eval, "n_test": n_eval, "n_measures": 2,
+            "img_height_range": [40, 48], "img_width_range": [96, 160],
+            "audio_seconds_range": [0.5, 1.0],
+        })
+    return json.dumps({
+        "n": n, "n_val": n_eval, "n_test": n_eval,
+        "n_measures": 30,
+        "img_height_range": [355, 362],
+        "img_width_range": [4300, 4413],
+        "audio_seconds_range": [17.0, 18.7],
+    })
+
+
+def read_trajectory(run_dir: str):
+    path = os.path.join(run_dir, "metrics.jsonl")
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    out = {}
+    for r in rows:
+        if "epoch" in r:
+            e = r["epoch"]
+            out.setdefault(e, {}).update(
+                {k: r[k] for k in ("train_loss", "val_sym-er", "val_seq-er", "samples_per_sec") if k in r}
+            )
+    return [{"epoch": e, **v} for e, v in sorted(out.items())]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--control_epochs", type=int, default=30,
+                   help="no-flash/no-packing control run length (trajectory-shape check)")
+    p.add_argument("--train_n", type=int, default=256)
+    p.add_argument("--eval_n", type=int, default=64)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--check_val_every_n_epoch", type=int, default=20)
+    p.add_argument("--workdir", default="runs/convergence")
+    p.add_argument("--skip_control", action="store_true")
+    p.add_argument("--smoke", action="store_true", help="tiny shapes, CPU-runnable plumbing check")
+    args = p.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    cache_root = os.path.join(args.workdir, "grandstaff_cache")
+    seed_caches(cache_root, smoke=args.smoke)
+
+    common = [
+        "--ds_name", "synthetic",
+        "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke),
+        "--krn_encoding", "kern",
+        "--use_distorted_images",
+        "--cache_root", cache_root,
+        "--eval_batch_size", str(args.batch),
+        "--num_workers", "8",
+        "--input_modality", "image",
+        "--attn_window", "100",
+        "--batch_size", str(args.batch),
+        "--teacher_forcing_prob", "0.2",
+        "--keep_cache",
+    ]
+    report = {"config": vars(args)}
+
+    from omr_a2s_multimodal_transformer_tpu.cli import train
+
+    def run(name, epochs, extra):
+        print(f"\n=== {name} ({epochs} epochs) ===", flush=True)
+        run_dir = os.path.join(args.workdir, "runs", name)
+        t0 = time.time()
+        train.main(common + [
+            "--epochs", str(epochs),
+            "--patience", "1000000",  # convergence probe: never early-stop
+            "--check_val_every_n_epoch", str(args.check_val_every_n_epoch),
+            "--weights_dir", os.path.join(args.workdir, "weights", name),
+            "--run_dir", run_dir,
+        ] + extra)
+        report[name + "_wall_s"] = round(time.time() - t0, 1)
+        report[name + "_trajectory"] = read_trajectory(run_dir)
+
+    # Control FIRST (shorter): reference-identical slow path — XLA masked
+    # cross-attention, unpacked NHWC stem. Same data, same seeds.
+    if not args.skip_control:
+        run("control", args.control_epochs, ["--no_packed_stem"])
+
+    # Production recipe: packed stem (default) + flash-cross + dropout 0.1
+    # (model default) + bf16 (default) + no remat.
+    run("production", args.epochs, ["--use_flash_cross"])
+
+    # Trajectory-shape comparison over the control's epochs. Dropout/PRNG
+    # streams differ between the two programs (flash draws in-kernel), so
+    # equality is statistical, not bitwise: mean |rel diff| of per-epoch
+    # losses must be small once past the noisy first epochs.
+    ctrl = report.get("control_trajectory") or []
+    prod = report["production_trajectory"]
+    if ctrl:
+        n = min(len(ctrl), len(prod))
+        rels = []
+        for c, q in zip(ctrl[2:n], prod[2:n]):
+            if "train_loss" in c and "train_loss" in q and c["train_loss"] > 0:
+                rels.append(abs(q["train_loss"] - c["train_loss"]) / c["train_loss"])
+        report["trajectory_match"] = {
+            "epochs_compared": len(rels),
+            "mean_rel_loss_diff": round(float(sum(rels) / max(1, len(rels))), 4),
+            "max_rel_loss_diff": round(float(max(rels)) if rels else 0.0, 4),
+        }
+
+    out = os.path.join(args.workdir, "report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"\nreport -> {out}")
+    last = prod[-1] if prod else {}
+    print("final:", json.dumps(last))
+    if "trajectory_match" in report:
+        print("trajectory match vs control:", json.dumps(report["trajectory_match"]))
+
+
+if __name__ == "__main__":
+    main()
