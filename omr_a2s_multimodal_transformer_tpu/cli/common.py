@@ -83,7 +83,7 @@ def model_name_from_args(args, input_modality: str, mixer_type: Optional[str]) -
 
 
 def build_from_checkpoint(checkpoint_path: str, ytest_i2w: Optional[Dict] = None,
-                          hparams_override: Optional[Dict] = None):
+                          hparams_override: Optional[Dict] = None, mesh=None):
     """Load hparams + params from an orbax checkpoint dir -> (model, params, hparams).
 
     hparams_override entries (with non-None values) replace the stored
@@ -95,7 +95,7 @@ def build_from_checkpoint(checkpoint_path: str, ytest_i2w: Optional[Dict] = None
     for k, v in (hparams_override or {}).items():
         if v is not None:
             hp[k] = v
-    model, multimodal = build_model(hp)
+    model, multimodal = build_model(hp, mesh=mesh)
     state = ckpt_lib.restore_checkpoint(checkpoint_path)
     params = state["params"] if "params" in state else state
     return model, params, hp, multimodal

@@ -76,7 +76,8 @@ def main(argv=None) -> None:
         "teacher_forcing_prob": args.teacher_forcing_prob,
         "teacher_forcing_modality_prob": args.teacher_forcing_modality_prob,
     }
-    model, multimodal = build_model(hparams)
+    mesh = common.make_mesh_if_needed(args)
+    model, multimodal = build_model(hparams, mesh=mesh)
     model_name = common.model_name_from_args(args, args.input_modality, args.mixer_type)
     weights_dir = args.weights_dir or os.path.join("weights", args.ds_name, model_name)
     run_dir = args.run_dir or os.path.join("runs", args.ds_name, model_name)
@@ -92,7 +93,7 @@ def main(argv=None) -> None:
         teacher_forcing_prob=args.teacher_forcing_prob,
         teacher_forcing_modality_prob=args.teacher_forcing_modality_prob,
         bf16_compute=not args.no_bf16, multimodal=multimodal,
-        mesh=common.make_mesh_if_needed(args),
+        mesh=mesh,
         use_wandb=args.use_wandb, wandb_group=model_name,
         wandb_name=f"Train-{args.ds_name}_Test-{args.ds_name}",
         seed=args.seed,

@@ -4,14 +4,20 @@ from omr_a2s_multimodal_transformer_tpu.models.multimodal import MultimodalTrans
 from omr_a2s_multimodal_transformer_tpu.models.transformer import UnimodalTransformer
 
 
-def build_model(hparams: Dict) -> Tuple[object, bool]:
+def build_model(hparams: Dict, mesh=None) -> Tuple[object, bool]:
     """Model factory from an hparams dict (stored in checkpoints).
 
     Required keys: vocab_size, max_seq_len, input_modality.
     Optional: attn_window, mixer_type, masked_norm, prefix_memory_mask,
     torch_float_parity, dropout knobs.
+
+    ``mesh`` is the device mesh (NOT an hparam — it is machine state, not a
+    model property, so it never enters checkpoints): threaded into the flash
+    cross-attention kernel, whose shard_map partitioning must be explicit
+    rather than sniffed from jax internals (VERDICT r2 #4).
     """
     common = dict(
+        mesh=mesh,
         vocab_size=hparams["vocab_size"],
         max_seq_len=hparams["max_seq_len"],
         attn_window=hparams.get("attn_window", -1),

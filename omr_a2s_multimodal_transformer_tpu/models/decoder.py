@@ -77,6 +77,11 @@ class DecoderLayer(nn.Module):
     # reference's torch-MHA semantics (dropout after softmax,
     # reference decoder.py:75-102).
     use_flash_cross: bool = False
+    # Device mesh for the flash path (explicit threading — VERDICT r2 #4):
+    # shard_map's batch/head partitioning must not depend on sniffing jax
+    # internals for an ambient mesh. None -> single-device (or the ambient
+    # mesh as a fallback inside flash_attention_packed_auto).
+    mesh: Any = None
 
     def setup(self):
         self.self_attn = MultiHeadProj(self.d_model, self.n_heads, name="self_attn")
@@ -148,6 +153,7 @@ class DecoderLayer(nn.Module):
                 n_heads=self.n_heads, dh=self.d_model // self.n_heads,
                 batch=qp.shape[0], dropout_rate=rate, block_q=256, block_k=1024,
                 interpret=jax.default_backend() == "cpu",
+                mesh=self.mesh,
             )
             h = self.cross_attn.out_proj(flash(qp, kp, vp, kv_len, kv_valid, seed))
         else:
@@ -219,6 +225,8 @@ class KernDecoder(nn.Module):
     # compatible with torch_float_parity). Attention-weight dropout runs
     # inside the kernel (torch-MHA semantics).
     use_flash_cross: bool = False
+    # Device mesh for the flash path (explicit threading; see DecoderLayer).
+    mesh: Any = None
 
     def setup(self):
         self.embedding = self.param(
@@ -226,7 +234,8 @@ class KernDecoder(nn.Module):
         )
         self.layers = [
             DecoderLayer(self.d_model, self.n_heads, self.ff_dim, self.dropout,
-                         use_flash_cross=self.use_flash_cross, name=f"layer{i}")
+                         use_flash_cross=self.use_flash_cross, mesh=self.mesh,
+                         name=f"layer{i}")
             for i in range(self.n_layers)
         ]
         self.out_layer = nn.Dense(self.vocab_size, name="out_layer")

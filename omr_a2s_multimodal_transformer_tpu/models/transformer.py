@@ -81,6 +81,9 @@ class UnimodalTransformer(nn.Module):
     cache_dtype: str = "float32"  # decode KV-cache storage (bfloat16 halves decode HBM traffic)
     use_flash_cross: bool = False  # Pallas flash cross-attention in training (wide memories)
     packed_stem: bool = False  # width space-to-depth conv stem (ops/packed_conv.py)
+    # Device mesh, threaded explicitly into the flash kernel's shard_map
+    # (VERDICT r2 #4 — no jax-internals sniffing on the production path).
+    mesh: object = None
 
     def setup(self):
         self.encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, remat=self.remat, packed_stem=self.packed_stem, name="encoder")
@@ -91,6 +94,7 @@ class UnimodalTransformer(nn.Module):
             attn_window=self.attn_window,
             cache_dtype=self.cache_dtype,
             use_flash_cross=self.use_flash_cross,
+            mesh=self.mesh,
             name="decoder",
         )
 
