@@ -41,7 +41,24 @@ def compute_metrics(
 ) -> Dict[str, float]:
     metrics = compute_ed_metrics(y_true, y_pred)
     if compute_mv2h:
-        from omr_a2s_multimodal_transformer_tpu.utils.mv2h import compute_mv2h_metrics
+        # Prefer the reference pipeline (music21 + pyMV2H) when installed;
+        # otherwise fall back to the dependency-free native implementation
+        # (utils/mv2h_native.py — same published metric, no MIDI round-trip).
+        try:
+            from omr_a2s_multimodal_transformer_tpu.utils.mv2h import compute_mv2h_metrics
 
-        metrics.update(compute_mv2h_metrics(y_true, y_pred))
+            metrics.update(compute_mv2h_metrics(y_true, y_pred))
+        except ImportError:
+            import logging
+
+            from omr_a2s_multimodal_transformer_tpu.utils.mv2h_native import (
+                compute_mv2h_metrics_native,
+            )
+
+            logging.getLogger(__name__).warning(
+                "music21/pyMV2H not installed: scoring MV2H with the native "
+                "implementation (utils/mv2h_native.py; harmony undefined on kern)"
+            )
+            metrics.update({k: v for k, v in compute_mv2h_metrics_native(y_true, y_pred).items()
+                            if v is not None})
     return metrics
