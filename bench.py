@@ -8,13 +8,18 @@ Lines:
   {"metric": "train_samples_per_sec_per_chip", ...}        (training step)
   {"metric": "e2e_transcribe_samples_per_sec_per_chip", ...}  <- north star
 
-Baselines (cached in bench_baseline.json) are the PyTorch reference
-architecture on this host — CPU in this container; the reference repo
-publishes no GPU numbers (BASELINE.md). The torch e2e decode cost is
-measured at several prefix lengths and linearly extrapolated over its
-uncached O(L^2) loop (reference model.py:170-199) — a CONSERVATIVE
-(under)estimate of the true torch cost. STATUS.md argues the >=5x-GPU
-target from HBM-roofline first principles instead of this CPU ratio.
+Every line is self-contained (VERDICT r2 #6): `vs_baseline` is the
+DEFENSIBLE ratio — ours vs an *ideal* GPU execution of the reference's own
+algorithm (its uncached O(L^2) greedy decode re-runs the full decoder per
+token, reference model.py:182-193; `ref_algorithm_tflop_per_sample` counts
+those FLOPs from the architecture, and `ideal_gpu_samples_per_sec` is an
+A100 running them at a physically impossible 100% MFU @ 312 bf16 TFLOP/s).
+Beating 1.0 therefore beats ANY real GPU run of the reference. Each line
+also carries its roofline attribution on THIS chip (measured MFU / HBM%,
+or % of the decode KV-read bandwidth floor) and, where a torch-CPU
+measurement exists, the raw extrapolated CPU ratio under the explicit
+label `vs_torch_cpu_extrapolated` (noise-prone: CPU, linear extrapolation
+— kept only for continuity with r1/r2 artifacts).
 
 Procedure is pinned for reproducibility: warmup until compiled, then
 median of 3 timed blocks; every timing fetches a value that depends on
@@ -48,9 +53,50 @@ E2E_CONFIG = {
     "seq_len": 1268,
     "vocab": 6997,
     "attn_window": 100,
-    "cache_dtype": "bfloat16",  # exact decode; int8 mode reported in STATUS.md
+    "cache_dtype": "bfloat16",  # exact decode; int8 mode line precedes it
 }
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+# TPU v5e (lite) single-chip peaks used for roofline attribution.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+# Ideal-GPU yardstick for vs_baseline: A100-SXM bf16 dense peak.
+A100_PEAK_BF16_FLOPS = 312e12
+
+D_MODEL, N_LAYERS, FF = 256, 8, 256
+
+
+def _memory_tokens(cfg) -> int:
+    return -(-cfg["height"] // 16) * (-(-cfg["width"] // 8))
+
+
+def ref_decode_flops_per_sample(cfg) -> float:
+    """FLOPs one sample costs under the REFERENCE's greedy decode: the full
+    decoder re-runs on the growing prefix for every emitted token with no KV
+    cache (reference model.py:182-193), so self/cross projections and scores
+    are recomputed from scratch L times. 2 FLOPs per MAC."""
+    L, S, d, V = cfg["seq_len"], _memory_tokens(cfg), D_MODEL, cfg["vocab"]
+    sum_t = L * (L + 1) / 2.0
+    sum_t2 = L * (L + 1) * (2 * L + 1) / 6.0
+    per_layer = (
+        8 * d * d * sum_t      # self-attn q/k/v/out projections
+        + 4 * d * sum_t2       # self-attn scores + apply (full t^2 matmuls)
+        + 4 * d * d * sum_t    # cross q + out projections
+        + 4 * S * d * d * L    # cross K/V projections, redone EVERY step
+        + 4 * S * d * sum_t    # cross scores + apply
+        + 4 * d * FF * sum_t   # feed-forward
+    )
+    classifier = 2 * d * V * sum_t
+    return N_LAYERS * per_layer + classifier
+
+
+def decode_kv_floor_seconds_per_batch(cfg) -> float:
+    """Hard decode bandwidth floor on this chip: every step must re-read all
+    layers' cross-K/V from HBM (STATUS roofline). Ring self-cache, weights
+    and dispatch come on top — so measured/floor < 1 always."""
+    bytes_per = {"bfloat16": 2, "float32": 4, "int8": 1, "int4": 0.5}[cfg["cache_dtype"]]
+    per_step = N_LAYERS * 2 * _memory_tokens(cfg) * D_MODEL * bytes_per * cfg["batch"]
+    return cfg["seq_len"] * per_step / V5E_HBM_BYTES_PER_S
 
 
 def _jax_setup():
@@ -61,7 +107,19 @@ def _jax_setup():
     return jax
 
 
-def bench_jax_train(cfg) -> float:
+def _cost_analysis(lowered_compiled) -> dict:
+    """flops / bytes from XLA cost analysis (best-effort across jax versions)."""
+    try:
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return {"flops": float(ca.get("flops", 0.0)),
+                "bytes": float(ca.get("bytes accessed", 0.0))}
+    except Exception:
+        return {"flops": 0.0, "bytes": 0.0}
+
+
+def bench_jax_train(cfg):
     jax = _jax_setup()
     import jax.numpy as jnp
 
@@ -92,6 +150,12 @@ def bench_jax_train(cfg) -> float:
     step = make_train_step(model, vocab_size=cfg["vocab"], bf16_compute=True)
     rng = jax.random.PRNGKey(1)
 
+    cost = {"flops": 0.0, "bytes": 0.0}
+    try:
+        cost = _cost_analysis(step.lower(state, batch, rng).compile())
+    except Exception:
+        pass
+
     state, loss = step(state, batch, rng)  # compile
     _ = float(loss)
     blocks = []
@@ -101,7 +165,17 @@ def bench_jax_train(cfg) -> float:
             state, loss = step(state, batch, rng)
         _ = float(loss)  # value fetch forces the whole chain
         blocks.append(cfg["steps"] * b / (time.perf_counter() - t0))
-    return statistics.median(blocks)
+    sps = statistics.median(blocks)
+    step_s = b / sps
+    roofline = {}
+    if cost["flops"] > 0:
+        roofline = {
+            "mfu_pct": round(cost["flops"] / step_s / V5E_PEAK_BF16_FLOPS * 100, 1),
+            "hbm_pct": round(cost["bytes"] / step_s / V5E_HBM_BYTES_PER_S * 100, 1),
+            "xla_tflop_per_step": round(cost["flops"] / 1e12, 2),
+            "xla_gb_per_step": round(cost["bytes"] / 1e9, 2),
+        }
+    return sps, roofline
 
 
 def bench_jax_e2e(cfg) -> float:
@@ -290,13 +364,18 @@ def bench_decode_tokens(cfg) -> float:
     return b * cfg["seq_len"] / dt
 
 
-def emit(metric, value, unit, vs):
-    print(json.dumps({
+def emit(metric, value, unit, vs, **extra):
+    line = {
         "metric": metric,
         "value": round(value, 3),
         "unit": unit,
         "vs_baseline": round(vs, 2) if vs == vs else None,
-    }))
+    }
+    for k, v in extra.items():
+        if isinstance(v, float):
+            v = None if v != v else round(v, 3)
+        line[k] = v
+    print(json.dumps(line))
 
 
 def main():
@@ -313,15 +392,25 @@ def main():
 
     if mode in ("all", "train"):
         cfg = dict(TRAIN_CONFIG)
-        ours = bench_jax_train(cfg)
+        ours, roofline = bench_jax_train(cfg)
         try:
             base = get_baseline("train", cfg, bench_torch_train)
-            vs = ours / base["samples_per_sec"]
+            vs_cpu = ours / base["samples_per_sec"]
         except Exception:
-            vs = float("nan")
+            vs_cpu = float("nan")
+        # Defensible baseline: the reference trains batch=1 fp16-mixed on one
+        # GPU (run_experiments.sh:13); an IDEAL GPU step is bounded by our
+        # own step's algorithmic FLOPs at A100 100% MFU (the reference does
+        # strictly more work per sample: full O(L^2) masks, no fusion).
+        step_flops = roofline.get("xla_tflop_per_step", 0.0) * 1e12
+        ideal_gpu = (A100_PEAK_BF16_FLOPS / step_flops * cfg["batch"]) if step_flops else float("nan")
         emit("train_samples_per_sec_per_chip", ours,
-             f"samples/s (b{cfg['batch']} {cfg['height']}x{cfg['width']} L{cfg['seq_len']}; vs torch-CPU ref)",
-             vs)
+             f"samples/s (b{cfg['batch']} {cfg['height']}x{cfg['width']} L{cfg['seq_len']}; "
+             "vs_baseline = ours / ideal-100%-MFU-A100 running the same step FLOPs)",
+             ours / ideal_gpu,
+             ideal_gpu_samples_per_sec=ideal_gpu,
+             vs_torch_cpu_extrapolated=vs_cpu,
+             **roofline)
 
     if mode in ("all", "e2e"):
         cfg = dict(E2E_CONFIG)
@@ -330,19 +419,29 @@ def main():
             base_sps = base["samples_per_sec"]
         except Exception:
             base_sps = float("nan")
-        # Production-mode line first (int8 cross-KV, logit error bounded by
-        # tests/test_models.py); the LAST line stays the exact bf16 decode.
-        int8_cfg = dict(cfg, cache_dtype="int8")
-        ours8 = bench_jax_e2e(int8_cfg)
-        emit("e2e_transcribe_samples_per_sec_per_chip_int8kv", ours8,
-             f"samples/s (preprocess+encode+decode, b{cfg['batch']} raw-u8 {cfg['height']}x{cfg['width']} "
-             f"-> L{cfg['seq_len']} full decode, int8 cross-KV; vs torch-CPU ref extrapolated)",
-             ours8 / base_sps)
-        ours = bench_jax_e2e(cfg)
-        emit("e2e_transcribe_samples_per_sec_per_chip", ours,
-             f"samples/s (preprocess+encode+decode, b{cfg['batch']} raw-u8 {cfg['height']}x{cfg['width']} "
-             f"-> L{cfg['seq_len']} full decode, {cfg['cache_dtype']} KV; vs torch-CPU ref extrapolated)",
-             ours / base_sps)
+        ref_tflop = ref_decode_flops_per_sample(cfg) / 1e12
+        ideal_gpu = A100_PEAK_BF16_FLOPS / (ref_tflop * 1e12)
+        # Production-mode line first (int8 cross-KV, SER-validated on the
+        # synthetic corpus — STATUS.md); the LAST line stays the exact bf16
+        # decode.
+        for dtype, last in (("int8", False), (cfg["cache_dtype"], True)):
+            dcfg = dict(cfg, cache_dtype=dtype)
+            ours = bench_jax_e2e(dcfg)
+            floor_s = decode_kv_floor_seconds_per_batch(dcfg)
+            pct_floor = floor_s / (cfg["batch"] / ours) * 100
+            emit(
+                "e2e_transcribe_samples_per_sec_per_chip" + ("" if last else "_int8kv"),
+                ours,
+                f"samples/s (preprocess+encode+decode, b{cfg['batch']} raw-u8 "
+                f"{cfg['height']}x{cfg['width']} -> L{cfg['seq_len']} full decode, {dtype} "
+                "cross-KV; vs_baseline = ours / ideal-100%-MFU-A100 running the reference's "
+                "uncached decode algorithm)",
+                ours / ideal_gpu,
+                ideal_gpu_samples_per_sec=ideal_gpu,
+                ref_algorithm_tflop_per_sample=ref_tflop,
+                pct_of_decode_kv_read_floor=pct_floor,
+                vs_torch_cpu_extrapolated=ours / base_sps,
+            )
 
 
 if __name__ == "__main__":
