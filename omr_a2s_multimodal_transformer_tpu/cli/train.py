@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_packed_stem", action="store_true",
                    help="disable the lane-packed (width space-to-depth) conv stem (ops/packed_conv.py); "
                         "packed is numerically equivalent and ~2x faster on TPU")
+    p.add_argument("--conv_mode", default="widened", choices=["widened", "patched", "auto"],
+                   help="packed-stem conv kernel layout (ops/packed_conv.py): 'patched' gathers "
+                        "exact neighbor columns instead of zero-widening the kernel (~n_cols/kw "
+                        "executed FLOPs instead of ~f); numerically equivalent")
     p.add_argument("--weights_dir", default=None, help="default: weights/<ds_name>")
     p.add_argument("--keep_cache", action="store_true",
                    help="keep the preprocess disk cache (reference clears it after training)")
@@ -69,6 +73,7 @@ def main(argv=None) -> None:
         "cache_dtype": args.cache_dtype or "bfloat16",
         "use_flash_cross": args.use_flash_cross,
         "packed_stem": not args.no_packed_stem,
+        "conv_mode": args.conv_mode,
         "krn_encoding": args.krn_encoding,
         "ds_name": args.ds_name,
         "use_distorted_images": args.use_distorted_images,

@@ -32,6 +32,7 @@ def build_model(hparams: Dict, mesh=None) -> Tuple[object, bool]:
         cache_dtype=hparams.get("cache_dtype", "float32"),
         use_flash_cross=hparams.get("use_flash_cross", False),
         packed_stem=hparams.get("packed_stem", False),
+        conv_mode=hparams.get("conv_mode", "widened"),
     )
     if hparams["input_modality"] == "both":
         return (

@@ -227,15 +227,26 @@ class KernDecoder(nn.Module):
     use_flash_cross: bool = False
     # Device mesh for the flash path (explicit threading; see DecoderLayer).
     mesh: Any = None
+    # Rematerialize each decoder layer in the backward pass. Matters for the
+    # NO-flash training path: plain XLA cross-attention materializes an f32
+    # [B, H, L, S] score tensor per layer (1.94 GB/layer at b8/L1268/S12.7k
+    # — all n_layers live at once for the backward without remat; measured
+    # 22.6 GB OOM on the 16 GB v5e). Flash never materializes scores, so it
+    # doesn't need this.
+    remat: bool = False
 
     def setup(self):
         self.embedding = self.param(
             "embedding", nn.initializers.normal(1.0), (self.vocab_size, self.d_model)
         )
+        # static_argnums counts self as 0 -> 5 == deterministic, 6 == banded_window
+        layer_cls = (
+            nn.remat(DecoderLayer, static_argnums=(5, 6)) if self.remat else DecoderLayer
+        )
         self.layers = [
-            DecoderLayer(self.d_model, self.n_heads, self.ff_dim, self.dropout,
-                         use_flash_cross=self.use_flash_cross, mesh=self.mesh,
-                         name=f"layer{i}")
+            layer_cls(self.d_model, self.n_heads, self.ff_dim, self.dropout,
+                      use_flash_cross=self.use_flash_cross, mesh=self.mesh,
+                      name=f"layer{i}")
             for i in range(self.n_layers)
         ]
         self.out_layer = nn.Dense(self.vocab_size, name="out_layer")
@@ -297,9 +308,10 @@ class KernDecoder(nn.Module):
         if self.use_flash_cross:
             assert not torch_float_parity, "flash cross-attention implies -inf pad masking"
         for layer in self.layers:
+            # positional: nn.remat static_argnums (5, 6) address these slots
             x = layer(x, memory, self_mask, mem_mask, deterministic,
-                      banded_window=banded, self_key_bias=self_key_bias,
-                      memory_valid=memory_valid if self.use_flash_cross else None)
+                      banded, self_key_bias,
+                      memory_valid if self.use_flash_cross else None)
         return self.out_layer(x)
 
     # ---------------------------------------------------------------- decode

@@ -222,6 +222,7 @@ class PackedConvBlock(nn.Module):
     f_in: int = 4
     kernel: int = 3
     dropout: float = 0.5
+    conv_mode: str = "widened"  # packed_conv mode: 'widened' | 'patched' | 'auto'
 
     @nn.compact
     def __call__(
@@ -250,12 +251,12 @@ class PackedConvBlock(nn.Module):
                 x.dtype,
                 ch_groups=f,
             )
-        x = packed_conv(x, w1, b1, f, f, (1, 1))
+        x = packed_conv(x, w1, b1, f, f, (1, 1), mode=self.conv_mode)
         x = _mul(nn.relu(x), f1)
-        x = packed_conv(x, w2, b2, f, f, (1, 1))
+        x = packed_conv(x, w2, b2, f, f, (1, 1), mode=self.conv_mode)
         x = _mul(nn.relu(x), f2)
         x = instance_norm_packed(x, f, eps=1e-3, valid=valid)
-        x = packed_conv(x, w3, b3, f, f_out, self.stride)
+        x = packed_conv(x, w3, b3, f, f_out, self.stride, mode=self.conv_mode)
         x = _mul(nn.relu(x), f3)
         return x
 
@@ -309,6 +310,7 @@ class ConvStemEncoder(nn.Module):
     masked_norm: bool = False
     remat: bool = False
     packed_stem: bool = False
+    conv_mode: str = "widened"  # packed_conv mode: 'widened' | 'patched' | 'auto'
 
     @nn.compact
     def __call__(
@@ -330,9 +332,10 @@ class ConvStemEncoder(nn.Module):
             f_use = min(f, max(1, 128 // ch))
             x = repack_width(x, f, f_use)  # pure reshape (f_use divides f)
             if f_use > 1:
-                x = packed_block(ch, stride, f_in=f_use, dropout=self.dropout, name=f"block{i}")(
-                    x, deterministic, v
-                )
+                x = packed_block(
+                    ch, stride, f_in=f_use, dropout=self.dropout,
+                    conv_mode=self.conv_mode, name=f"block{i}",
+                )(x, deterministic, v)
                 f = max(1, f_use // stride[1])
             else:
                 x = conv_block(ch, stride, dropout=self.dropout, name=f"block{i}")(x, deterministic, v)

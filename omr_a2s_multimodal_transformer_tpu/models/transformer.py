@@ -81,12 +81,13 @@ class UnimodalTransformer(nn.Module):
     cache_dtype: str = "float32"  # decode KV-cache storage (bfloat16 halves decode HBM traffic)
     use_flash_cross: bool = False  # Pallas flash cross-attention in training (wide memories)
     packed_stem: bool = False  # width space-to-depth conv stem (ops/packed_conv.py)
+    conv_mode: str = "widened"  # packed_conv mode: 'widened' | 'patched' | 'auto'
     # Device mesh, threaded explicitly into the flash kernel's shard_map
     # (VERDICT r2 #4 — no jax-internals sniffing on the production path).
     mesh: object = None
 
     def setup(self):
-        self.encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, remat=self.remat, packed_stem=self.packed_stem, name="encoder")
+        self.encoder = ConvStemEncoder(dropout=self.encoder_dropout, masked_norm=self.masked_norm, remat=self.remat, packed_stem=self.packed_stem, conv_mode=self.conv_mode, name="encoder")
         self.decoder = KernDecoder(
             vocab_size=self.vocab_size,
             max_seq_len=self.max_seq_len,
@@ -95,6 +96,9 @@ class UnimodalTransformer(nn.Module):
             cache_dtype=self.cache_dtype,
             use_flash_cross=self.use_flash_cross,
             mesh=self.mesh,
+            # decoder-layer remat only matters (and only costs) on the
+            # no-flash XLA cross-attention path — see KernDecoder.remat
+            remat=self.remat and not self.use_flash_cross,
             name="decoder",
         )
 

@@ -90,6 +90,26 @@ def widen_width_kernel(w: jnp.ndarray, f_in: int, f_out: int, sw: int) -> Tuple[
     return big, dmin
 
 
+def patch_kernel(w: jnp.ndarray, f_out: int, sw: int, n_cols: int) -> jnp.ndarray:
+    """Rearrange an original HWIO kernel [kh, kw, ci, co] into the patch-space
+    kernel [kh, 1, n_cols*ci, f_out*co] consumed by ``packed_conv(mode=
+    'patched')``.
+
+    Patch column j holds original input column ``base + j`` (base =
+    P*f_in - kw//2 for packed cell P), and output slot q's tap kx reads
+    original column ``base + q*sw + kx`` — so kernel2[:, 0, j*ci+c, q*co+o]
+    = w[:, kx, c, o] with j = q*sw + kx. Distinct (q, kx) pairs can share a
+    patch column j (sw < kw), but they write distinct (j, q) kernel slots.
+    """
+    kh, kw, ci, co = w.shape
+    k2 = jnp.zeros((kh, 1, n_cols * ci, f_out * co), w.dtype)
+    for q in range(f_out):
+        for kx in range(kw):
+            j = q * sw + kx
+            k2 = k2.at[:, 0, j * ci:(j + 1) * ci, q * co:(q + 1) * co].set(w[:, kx])
+    return k2
+
+
 def packed_conv(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -97,6 +117,7 @@ def packed_conv(
     f_in: int,
     f_out: int,
     stride: Tuple[int, int],
+    mode: str = "widened",
 ) -> jnp.ndarray:
     """Packed-space equivalent of ``nn.Conv(co, (kh, kw), stride, SAME-ish)``.
 
@@ -104,13 +125,41 @@ def packed_conv(
     [B, H', Wp', f_out*co] where H'/Wp' match the original conv output
     packed at f_out. Height behaves exactly as the original (untouched by
     packing): pad kh//2 both sides, stride sh.
+
+    ``mode``:
+      'widened' — zero-widened kernel (``widen_width_kernel``): one conv in
+        packed space, but the kernel is block-sparse (each output slot uses
+        kw of kw'*f_in width taps), so the MXU multiplies ~f_in/kw zeros —
+        executed FLOPs ~f_in x the original conv's.
+      'patched' — gather the exactly-needed neighbor columns into a patch
+        tensor [B, H, Wp, n_cols*ci] (n_cols = (f_out-1)*sw + kw: pads only
+        kw-1 extra columns per cell, ~(1 + (kw-1)/f_in) x input bytes) and
+        run a width-1 conv against a dense-per-slot [kh, 1, n_cols*ci,
+        f_out*co] kernel — executed FLOPs ~n_cols/kw x the original
+        (e.g. 10/3 instead of 8 for the f=8 blocks), full 128-lane
+        utilization. Requires packed-space stride 1 (f_out*sw == f_in),
+        which holds for the whole stem ladder.
+      'auto' — 'patched' when the geometry allows, else 'widened'.
+
+    Both modes sum exactly the same products (plus structural zeros), so
+    they are numerically equivalent to the unpacked conv up to f32
+    reduction order; parameters keep reference shapes in both.
     """
     sh, sw = stride
-    kh = w.shape[0]
+    kh, kw = w.shape[0], w.shape[1]
     ph = kh // 2
     s_w = f_out * sw // f_in
     if s_w * f_in != f_out * sw:
         raise ValueError(f"non-integral packed stride: f_in={f_in} f_out={f_out} sw={sw}")
+    if mode == "auto":
+        mode = "patched" if (s_w == 1 and f_in > 1 and kw // 2 <= f_in) else "widened"
+    if mode == "patched":
+        if s_w != 1 or kw // 2 > f_in:
+            raise ValueError(
+                f"packed_conv mode='patched' needs packed-space stride 1 and "
+                f"kw//2 <= f_in (f_in={f_in}, f_out={f_out}, stride={stride}, kernel={w.shape})"
+            )
+        return _packed_conv_patched(x, w, bias, f_in, f_out, (sh, sw))
     big, dmin = widen_width_kernel(w, f_in, f_out, sw)
     wp_in = x.shape[2]
     w_out = (wp_in * f_in // sw) // f_out  # exact: collate widths are multiples of 8
@@ -134,6 +183,50 @@ def packed_conv(
         big.astype(dt),
         window_strides=(sh, s_w),
         padding=((ph, ph), (pl, pr)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + jnp.tile(bias, f_out).astype(y.dtype)
+
+
+def _packed_conv_patched(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    f_in: int,
+    f_out: int,
+    stride: Tuple[int, int],
+) -> jnp.ndarray:
+    """mode='patched' body of ``packed_conv`` (see its docstring).
+
+    Packed cell P's outputs read original columns [P*f_in - pw,
+    P*f_in - pw + n_cols): the last pw columns of the LEFT neighbor cell,
+    all of cell P, and the first (n_cols - pw - f_in) columns of the RIGHT
+    neighbor (<= f_in each for the stem ladder — asserted by the caller).
+    Zero cells at the edges reproduce the original conv's zero width-pad
+    exactly (collation widths are multiples of 8, as in 'widened' mode).
+    """
+    sh, sw = stride
+    kh, kw, ci, co = w.shape
+    pw = kw // 2
+    n_cols = (f_out - 1) * sw + kw
+    n_right = n_cols - pw - f_in
+    b, h, wp, _ = x.shape
+    parts = []
+    if pw > 0:
+        left = jnp.pad(x, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :wp, (f_in - pw) * ci:]
+        parts.append(left)
+    parts.append(x)
+    if n_right > 0:
+        right = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:, :n_right * ci]
+        parts.append(right)
+    p = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    k2 = patch_kernel(w, f_out, sw, n_cols)
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    y = lax.conv_general_dilated(
+        p.astype(dt),
+        k2.astype(dt),
+        window_strides=(sh, 1),
+        padding=((kh // 2, kh // 2), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return y + jnp.tile(bias, f_out).astype(y.dtype)

@@ -23,12 +23,17 @@ def _rand(key, shape):
     return jax.random.normal(key, shape, jnp.float32)
 
 
+@pytest.mark.parametrize("mode", ["widened", "patched", "auto"])
 @pytest.mark.parametrize(
     "f_in,sw,ci,co,k",
     [(8, 1, 1, 16, 3), (8, 1, 16, 16, 3), (4, 1, 16, 16, 3), (4, 2, 32, 32, 3), (2, 1, 32, 64, 3), (2, 2, 64, 64, 3), (1, 2, 8, 8, 3)],
 )
-def test_packed_conv_matches_lax_conv(f_in, sw, ci, co, k):
-    """packed_conv == unpacked lax conv with the original kernel, repacked."""
+def test_packed_conv_matches_lax_conv(f_in, sw, ci, co, k, mode):
+    """packed_conv == unpacked lax conv with the original kernel, repacked
+    (both kernel layouts: zero-widened and column-patched)."""
+    f_out_ = max(1, f_in // sw)
+    if mode == "patched" and f_out_ * sw != f_in:
+        pytest.skip("patched mode needs packed-space stride 1")
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     H, W = 7, 24
@@ -43,8 +48,8 @@ def test_packed_conv_matches_lax_conv(f_in, sw, ci, co, k):
         )
         + b
     )
-    f_out = max(1, f_in // sw)
-    got = packed_conv(pack_width(x, f_in), w, b, f_in, f_out, (sh, sw))
+    f_out = f_out_
+    got = packed_conv(pack_width(x, f_in), w, b, f_in, f_out, (sh, sw), mode=mode)
     wo = ref.shape[2]
     got_unpacked = got.reshape(got.shape[0], got.shape[1], got.shape[2], f_out, co).reshape(
         got.shape[0], got.shape[1], got.shape[2] * f_out, co
@@ -60,11 +65,12 @@ def test_widen_kernel_no_collisions_and_mass():
     assert int(jnp.sum(big != 0)) == w.size * 2
 
 
+@pytest.mark.parametrize("conv_mode", ["widened", "patched"])
 @pytest.mark.parametrize("masked", [False, True])
 @pytest.mark.parametrize("hw", [(19, 48), (16, 40)])
-def test_packed_stem_deterministic_equivalence(masked, hw):
+def test_packed_stem_deterministic_equivalence(masked, hw, conv_mode):
     """Full stem, deterministic: packed == standard bit-for-allclose with the
-    SAME params (checkpoint interchangeability)."""
+    SAME params (checkpoint interchangeability), in both packed-conv modes."""
     H, W = hw
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, H, W, 1), jnp.float32)
     hwb = jnp.asarray([[H, W], [H - 3, W - 9]], jnp.int32)
@@ -74,7 +80,7 @@ def test_packed_stem_deterministic_equivalence(masked, hw):
         ww = jnp.arange(W)[None, None, :] < hwb[:, 1][:, None, None]
         valid = hh & ww
     std = ConvStemEncoder(masked_norm=masked)
-    pk = ConvStemEncoder(masked_norm=masked, packed_stem=True)
+    pk = ConvStemEncoder(masked_norm=masked, packed_stem=True, conv_mode=conv_mode)
     params = std.init({"params": jax.random.PRNGKey(2)}, x, True, valid)
     # identical param trees (names, shapes) -> shared checkpoints
     params_p = pk.init({"params": jax.random.PRNGKey(2)}, x, True, valid)
@@ -91,12 +97,13 @@ def test_packed_stem_deterministic_equivalence(masked, hw):
     np.testing.assert_allclose(np.asarray(out_pk), np.asarray(out_std), rtol=1e-9, atol=1e-9)
 
 
-def test_packed_stem_grad_equivalence():
+@pytest.mark.parametrize("conv_mode", ["widened", "patched"])
+def test_packed_stem_grad_equivalence(conv_mode):
     """Gradients w.r.t. shared params match between packed and standard
     (f64 so only a real algorithmic divergence could trip it)."""
     H, W = 17, 32
     std = ConvStemEncoder()
-    pk = ConvStemEncoder(packed_stem=True)
+    pk = ConvStemEncoder(packed_stem=True, conv_mode=conv_mode)
     with jax.enable_x64(True):
         x = jax.random.uniform(jax.random.PRNGKey(3), (1, H, W, 1), jnp.float64)
         params = std.init({"params": jax.random.PRNGKey(4)}, x, True, None)

@@ -30,6 +30,8 @@ def main():
     p.add_argument("--no_flash", action="store_true")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--packed", action="store_true", help="lane-packed conv stem")
+    p.add_argument("--conv_mode", default="widened", choices=["widened", "patched", "auto"],
+                   help="packed_conv kernel layout (ops/packed_conv.py)")
     p.add_argument("--batch", type=int, default=None)
     args = p.parse_args()
     cfg = dict(CONFIGS[args.mode])
@@ -57,6 +59,7 @@ def main():
         "remat": cfg["remat"],
         "use_flash_cross": cfg["flash"],
         "packed_stem": args.packed,
+        "conv_mode": args.conv_mode,
     }
     if cfg["modality"] == "both":
         hp["mixer_type"] = "concat"

@@ -113,10 +113,24 @@ def main():
         report[name + "_wall_s"] = round(time.time() - t0, 1)
         report[name + "_trajectory"] = read_trajectory(run_dir)
 
-    # Control FIRST (shorter): reference-identical slow path — XLA masked
-    # cross-attention, unpacked NHWC stem. Same data, same seeds.
+    # Control FIRST (shorter): no-flash slow path — plain XLA masked
+    # cross-attention. Same data, same seeds, same batch size.
+    #
+    # Why the control keeps the packed stem: the reference-identical
+    # UNPACKED stem cannot run at b8 production shapes on a 16 GB v5e at
+    # all — XLA lane-pads the C=16/32 full-resolution activations to 128
+    # lanes, needing 34 GB without remat and 23 GB with it (both measured
+    # OOM here). The packed stem is instead validated by exact f64 fwd+grad
+    # equivalence tests (tests/test_packed_stem.py), so the runtime control
+    # isolates the one fast path without an exact-equivalence test: the
+    # Pallas flash-cross kernel (+ its in-kernel dropout).
+    #
+    # --remat (numerics-neutral recompute) is also required for the control:
+    # plain XLA cross-attention materializes f32 [b, H, L, S] score tensors
+    # (1.94 GB x 8 layers at b8/L1268/S12.7k — measured 25 GB OOM without).
+    # Only the flash production path runs remat-free at b8.
     if not args.skip_control:
-        run("control", args.control_epochs, ["--no_packed_stem"])
+        run("control", args.control_epochs, ["--remat"])
 
     # Production recipe: packed stem (default) + flash-cross + dropout 0.1
     # (model default) + bf16 (default) + no remat.
