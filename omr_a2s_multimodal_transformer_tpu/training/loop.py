@@ -91,6 +91,7 @@ class Trainer:
             teacher_forcing_prob=teacher_forcing_prob,
             bf16_compute=bf16_compute, multimodal=multimodal,
         )
+        self.bf16_compute = bf16_compute
         self._decode = None
         self.state: Optional[TrainState] = None
 
@@ -160,8 +161,23 @@ class Trainer:
             self.state = self.state.replace(params=params)
 
     # ------------------------------------------------------------------ train
-    def _put(self, batch: Dict) -> Dict:
-        arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    # f32 input tensors the bf16 train step downcasts on-device anyway;
+    # casting them on the HOST first halves host->device bytes (the training
+    # bottleneck behind a remote-TPU tunnel, and real PCIe staging on pods:
+    # a b8 361x4416 f32 image batch is 170 MB/step). Numerics-identical for
+    # training: f32->bf16 rounding is the same on either side of the wire.
+    _BF16_SHIP_KEYS = ("x", "xi", "xa")
+
+    def _put(self, batch: Dict, bf16_inputs: bool = False) -> Dict:
+        arrays = {
+            k: jnp.asarray(
+                v.astype(jnp.bfloat16)
+                if (bf16_inputs and k in self._BF16_SHIP_KEYS
+                    and getattr(v, "dtype", None) == jnp.float32)
+                else v
+            )
+            for k, v in batch.items()
+        }
         if self.mesh is not None:
             arrays = mesh_lib.shard_batch(arrays, self.mesh)
         return arrays
@@ -213,7 +229,7 @@ class Trainer:
                         break
                     rng, sub = jax.random.split(rng)
                     with timer.phase("step"):
-                        b = self._put(batch)
+                        b = self._put(batch, bf16_inputs=self.bf16_compute)
                         if self.multimodal:
                             modality = draw_modality(host_rng, self.tf_modality_prob)
                             self.state, loss = self.train_step(self.state, b, sub, modality)

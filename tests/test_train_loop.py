@@ -100,3 +100,40 @@ def test_degraded_resume_is_loud(dm, tmp_path, caplog):
         np.asarray(t1.state.params["decoder"]["out_layer"]["kernel"]),
         np.asarray(t2.state.params["decoder"]["out_layer"]["kernel"]),
     )
+
+
+def test_bf16_input_shipping_is_numerics_identical():
+    """Trainer._put(bf16_inputs=True) ships f32 image tensors as bf16 (half
+    the host->device bytes; loop.py). The jitted bf16 train step downcasts
+    them on-device anyway, so the loss must be BIT-identical either way
+    (f32->bf16 rounding commutes across the wire)."""
+    import jax
+    import jax.numpy as jnp
+
+    from omr_a2s_multimodal_transformer_tpu.training.train_state import (
+        TrainState, adam, make_train_step,
+    )
+
+    hp = {"vocab_size": 40, "max_seq_len": 12, "input_modality": "image",
+          "attn_window": 4, "encoder_dropout": 0.0, "decoder_dropout": 0.0,
+          "pos_dropout": 0.0}
+    model, _ = build_model(hp)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, 32, 40, 1), jnp.float32)
+    batch = {
+        "x": x,
+        "x_hw": jnp.asarray([[32, 40]] * 2, jnp.int32),
+        "y_in": jnp.ones((2, 12), jnp.int32),
+        "y_out": jnp.ones((2, 12), jnp.int32),
+    }
+    params = jax.jit(model.init)({"params": rng}, batch["x"], batch["x_hw"], batch["y_in"])[
+        "params"
+    ]
+    step = make_train_step(model, vocab_size=40, teacher_forcing_prob=0.0, bf16_compute=True)
+    skey = jax.random.PRNGKey(7)
+    # the step donates its TrainState: give each call its own param buffers
+    fresh = lambda: TrainState.create(jax.tree.map(jnp.copy, params), adam(1e-4))
+    _, loss_f32 = step(fresh(), batch, skey)
+    batch_bf16 = dict(batch, x=batch["x"].astype(jnp.bfloat16))
+    _, loss_bf16 = step(fresh(), batch_bf16, skey)
+    assert float(loss_f32) == float(loss_bf16)

@@ -3,7 +3,7 @@
 The one way (absent real GRANDSTAFF data — zero egress) to catch subtle
 numerics bugs in the round-2 fast paths: train the FULL production recipe
 — lane-packed stem + Pallas flash-cross attention + dropout 0.1 +
-attn_window 100 + bf16, b8, no remat — at real GRANDSTAFF shapes
+attn_window 100 + bf16, b8 — at real GRANDSTAFF shapes
 (361x4412-px images, vocab 6,997, L=1268) on a content-deterministic
 synthetic corpus (data/sources.py render_score_image: pixels encode the
 tokens, so val/test with DIFFERENT generator seeds measure true
@@ -133,8 +133,11 @@ def main():
         run("control", args.control_epochs, ["--remat"])
 
     # Production recipe: packed stem (default) + flash-cross + dropout 0.1
-    # (model default) + bf16 (default) + no remat.
-    run("production", args.epochs, ["--use_flash_cross"])
+    # (model default) + bf16 (default). --remat: at this exact config (image
+    # modality, single max-width bucket, no remat) the flash bwd kernel's
+    # fusion exceeds the 16 MB scoped-VMEM ceiling by 148 KB — remat changes
+    # the fusion context and fits; numerics-neutral (grad parity 1.5e-11).
+    run("production", args.epochs, ["--use_flash_cross", "--remat"])
 
     # Trajectory-shape comparison over the control's epochs. Dropout/PRNG
     # streams differ between the two programs (flash draws in-kernel), so
@@ -166,3 +169,33 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def assemble_report(workdir: str = "runs/convergence"):
+    """Rebuild report.json from the runs' metrics.jsonl files (used when
+    control and production were executed by separate driver invocations —
+    e.g. after a mid-run relaunch; trajectories live in the run dirs)."""
+    report = {}
+    for name in ("control", "production"):
+        rd = os.path.join(workdir, "runs", name)
+        if os.path.isdir(rd):
+            report[name + "_trajectory"] = read_trajectory(rd)
+    ctrl = report.get("control_trajectory") or []
+    prod = report.get("production_trajectory") or []
+    if ctrl and prod:
+        n = min(len(ctrl), len(prod))
+        rels = [
+            abs(q["train_loss"] - c["train_loss"]) / c["train_loss"]
+            for c, q in zip(ctrl[2:n], prod[2:n])
+            if "train_loss" in c and "train_loss" in q and c["train_loss"] > 0
+        ]
+        report["trajectory_match"] = {
+            "epochs_compared": len(rels),
+            "mean_rel_loss_diff": round(float(sum(rels) / max(1, len(rels))), 4),
+            "max_rel_loss_diff": round(float(max(rels)) if rels else 0.0, 4),
+        }
+    out = os.path.join(workdir, "report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report.get("trajectory_match", {})))
+    return report
