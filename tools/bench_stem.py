@@ -44,7 +44,9 @@ def main():
             conv_mode=mode if mode != "unpacked" else "widened",
             remat=(mode == "unpacked"),  # unpacked needs remat to fit at b8
         )
-        params = jax.jit(stem.init)({"params": rng}, x[:1].astype(jnp.float32), True, None)
+        params = jax.jit(
+            lambda r, xx: stem.init({"params": r}, xx, True, None)
+        )(rng, x[:1].astype(jnp.float32))
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
         def loss_fn(p_, x_, key):
@@ -53,9 +55,14 @@ def main():
 
         grad = jax.jit(jax.grad(loss_fn))
         key = jax.random.PRNGKey(1)
+        def force(gtree):
+            # axon acks block_until_ready before execution finishes: honest
+            # timing must FETCH a value that depends on the computation
+            return float(jax.tree.leaves(gtree)[0].ravel()[0])
+
         try:
             g = grad(params, x, key)
-            jax.block_until_ready(g)
+            force(g)
         except Exception as e:  # noqa: BLE001 - report OOM/compile failures per mode
             print(f"{mode}: FAILED ({type(e).__name__}: {str(e)[:120]})")
             continue
@@ -64,7 +71,7 @@ def main():
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 g = grad(params, x, key)
-            jax.block_until_ready(g)
+            force(g)
             blocks.append((time.perf_counter() - t0) / args.steps)
         dt = statistics.median(blocks)
         results[mode] = dt

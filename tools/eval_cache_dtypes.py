@@ -60,7 +60,6 @@ def main():
                 "--krn_encoding", "kern",
                 "--use_distorted_images",
                 "--cache_root", cache_root,
-                "--keep_cache",
                 "--eval_batch_size", str(args.batch),
                 "--input_modality", "image",
                 "--checkpoint_path", args.checkpoint,
