@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="packed-stem conv kernel layout (ops/packed_conv.py): 'patched' gathers "
                         "exact neighbor columns instead of zero-widening the kernel (~n_cols/kw "
                         "executed FLOPs instead of ~f); numerically equivalent")
+    p.add_argument("--device_cache", action="store_true",
+                   help="pin the preprocessed train corpus in device HBM and gather batches "
+                        "on-device (data/device_cache.py): removes per-step host->device input "
+                        "transfer for corpora that fit (requires single-bucket collation)")
     p.add_argument("--weights_dir", default=None, help="default: weights/<ds_name>")
     p.add_argument("--keep_cache", action="store_true",
                    help="keep the preprocess disk cache (reference clears it after training)")
@@ -102,6 +106,7 @@ def main(argv=None) -> None:
         use_wandb=args.use_wandb, wandb_group=model_name,
         wandb_name=f"Train-{args.ds_name}_Test-{args.ds_name}",
         seed=args.seed,
+        device_cache=args.device_cache,
     )
     if args.checkpoint_path and os.path.exists(args.checkpoint_path):
         print(f"Resuming from checkpoint: {args.checkpoint_path}")

@@ -1,0 +1,118 @@
+"""Device-resident dataset cache: pin a small corpus in HBM once, assemble
+batches with on-device gathers.
+
+The reference re-collates and re-ships every batch every epoch
+(``/root/reference/src/data/ar_dataset.py`` + torch DataLoader). For the
+corpora this model trains on (GRANDSTAFF-scale: a few thousand samples;
+synthetic convergence corpora: a few hundred), the whole preprocessed
+dataset fits in a fraction of one chip's HBM — e.g. 256 bf16 images at
+361x4416 are ~0.8 GB. Host->device transfer is the training bottleneck
+behind any staging link (measured here: ~97% of epoch wall time behind the
+remote-TPU tunnel; on pods it is real PCIe pressure), so the TPU-first
+layout is: preprocess + collate each sample ONCE, stack per-key tensors on
+the device, and build each step's batch as an on-device ``jnp.take`` over a
+host-chosen index permutation (a few hundred bytes per step on the wire).
+
+Exactness: with a single-bucket ``BucketSpec`` every sample pads to the
+same static target, so per-sample collation rows equal the rows of any
+batch collation — cached batches are bit-identical to the streaming
+loader's (same shuffle stream: ``Loader._order`` is reused). Multi-bucket
+loaders are rejected (batch padding would depend on batch composition);
+the streaming loader remains the path for large/bucketed corpora.
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# float input keys shipped/stored as bf16 when the train step computes in
+# bf16 (it downcasts on-device anyway; see Trainer._BF16_SHIP_KEYS)
+_CAST_KEYS = ("x", "xi", "xa")
+
+# samples per preprocessing/transfer chunk while building the cache
+_CHUNK = 16
+
+
+def _single_bucket(spec) -> bool:
+    return len(spec.heights) == 1 and len(spec.widths) == 1 and len(spec.lengths) == 1
+
+
+class DeviceCacheLoader:
+    """Wrap a ``dataset.Loader``; same iteration protocol, same batches
+    (bit-identical under a single-bucket spec), near-zero per-step wire cost.
+
+    Builds lazily on first iteration: preprocess+collate sample chunks on
+    host threads, cast float inputs to ``cast_dtype`` (the wire/store dtype),
+    transfer once, concatenate into per-key device stacks.
+    """
+
+    def __init__(self, loader, cast_bf16: bool = False):
+        m = loader.ds.input_modality
+        buckets: Tuple = (
+            (loader.image_bucket, loader.audio_bucket) if m == "both" else (loader.bucket,)
+        )
+        if not all(_single_bucket(b) for b in buckets):
+            raise ValueError(
+                "DeviceCacheLoader requires single-bucket specs (batch padding must "
+                "not depend on batch composition); use the streaming Loader for "
+                "width-bucketed corpora"
+            )
+        self.loader = loader
+        self.batch_size = loader.batch_size
+        self.cast_dtype = jnp.bfloat16 if cast_bf16 else None
+        self._stacks: Dict[str, jax.Array] = {}
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    @property
+    def ds(self):
+        return self.loader.ds
+
+    def nbytes(self) -> int:
+        return sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in self._stacks.values())
+
+    def _build(self) -> None:
+        ds = self.loader.ds
+        n = len(ds)
+        chunk_stacks = []  # list of {key: device array [chunk, ...]}
+        with ThreadPoolExecutor(max_workers=max(1, self.loader.num_threads)) as ex:
+            for lo in range(0, n, _CHUNK):
+                idx = list(range(lo, min(lo + _CHUNK, n)))
+                samples = list(ex.map(ds.__getitem__, idx))
+                batch = self.loader._collate(samples)
+                if self.cast_dtype is not None:
+                    for k in _CAST_KEYS:
+                        if k in batch and batch[k].dtype == np.float32:
+                            batch[k] = batch[k].astype(self.cast_dtype)
+                chunk_stacks.append({k: jnp.asarray(v) for k, v in batch.items()})
+        self._stacks = {
+            k: jnp.concatenate([c[k] for c in chunk_stacks], axis=0) for k in chunk_stacks[0]
+        }
+        logger.info(
+            "device cache: %d samples, %.1f MB resident (%s)",
+            n, self.nbytes() / 2**20,
+            ", ".join(f"{k}:{v.dtype}{list(v.shape)}" for k, v in self._stacks.items()),
+        )
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        if not self._stacks:
+            self._build()
+        # identical shuffle stream + batch split to the streaming Loader
+        order = self.loader._order()
+        self.loader.epoch += 1
+        bs = self.batch_size
+        batches = [order[i : i + bs] for i in range(0, len(order), bs)]
+        if self.loader.drop_remainder and batches and len(batches[-1]) < bs:
+            batches.pop()
+        for b in batches:
+            idx = jnp.asarray(b, dtype=jnp.int32)
+            yield {k: jnp.take(v, idx, axis=0) for k, v in self._stacks.items()}

@@ -65,6 +65,7 @@ class Trainer:
         compute_mv2h: bool = False,
         profile_first_epoch: bool = False,
         beam_size: int = 1,  # >1: beam search at eval (TPU extra; reference is greedy-only)
+        device_cache: bool = False,  # pin the train corpus in HBM (data/device_cache.py)
     ):
         self.model = model
         self.vocab = vocab
@@ -82,6 +83,7 @@ class Trainer:
         self.ytest_i2w = ytest_i2w  # cross-domain eval: GT decoded in test vocab
         self.profile_first_epoch = profile_first_epoch
         self.beam_size = beam_size
+        self.device_cache = device_cache
         self.logger = MetricsLogger(
             run_dir, use_wandb=use_wandb, wandb_group=wandb_group, wandb_name=wandb_name, config=hparams
         )
@@ -195,6 +197,18 @@ class Trainer:
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
+        if self.device_cache:
+            if self.mesh is not None:
+                # cached stacks are committed to one device; resharding them
+                # per-step would defeat the point — keep the streaming loader
+                logging.getLogger(__name__).warning(
+                    "device_cache ignored under a mesh (streaming loader keeps "
+                    "host->device sharding explicit)"
+                )
+            else:
+                from omr_a2s_multimodal_transformer_tpu.data.device_cache import DeviceCacheLoader
+
+                train_loader = DeviceCacheLoader(train_loader, cast_bf16=self.bf16_compute)
         if self.state is None:
             sample = next(iter(train_loader))
             self.init_state(sample)

@@ -33,6 +33,8 @@ def main():
     p.add_argument("--conv_mode", default="widened", choices=["widened", "patched", "auto"],
                    help="packed_conv kernel layout (ops/packed_conv.py)")
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--breakdown", type=int, default=0,
+                   help="print top-N HLO op groups by static bytes (tools/hlo_bytes.py)")
     args = p.parse_args()
     cfg = dict(CONFIGS[args.mode])
     if args.no_flash:
@@ -111,6 +113,10 @@ def main():
               f"{(mem.temp_size_in_bytes + mem.argument_size_in_bytes)/1e9:.2f} GB")
     except Exception as e:
         print(f"memory_analysis unavailable: {e}")
+    if args.breakdown:
+        from tools import hlo_bytes
+
+        hlo_bytes.print_top(compiled, top=args.breakdown)
 
     fn = compiled
     # the compiled fn takes only array args (static modality is baked in)

@@ -74,6 +74,10 @@ def main():
     p.add_argument("--check_val_every_n_epoch", type=int, default=20)
     p.add_argument("--workdir", default="runs/convergence")
     p.add_argument("--skip_control", action="store_true")
+    p.add_argument("--no_device_cache", action="store_true",
+                   help="stream batches from host every step instead of pinning the corpus "
+                        "in HBM (data/device_cache.py; cached is bit-identical and removes "
+                        "the dominant per-epoch wall cost behind a remote-TPU link)")
     p.add_argument("--smoke", action="store_true", help="tiny shapes, CPU-runnable plumbing check")
     args = p.parse_args()
 
@@ -95,6 +99,8 @@ def main():
         "--teacher_forcing_prob", "0.2",
         "--keep_cache",
     ]
+    if not args.no_device_cache:
+        common.append("--device_cache")
     report = {"config": vars(args)}
 
     from omr_a2s_multimodal_transformer_tpu.cli import train
