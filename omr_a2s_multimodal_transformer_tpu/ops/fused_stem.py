@@ -1,0 +1,643 @@
+"""Fused packed ConvBlock: the whole 3-conv stem block in two Pallas passes.
+
+Why: the flagship train step is HBM-bandwidth bound (STATUS r3: 28.9% MFU
+vs 60% HBM; the patched-conv experiment falsified the MXU-bound
+hypothesis), and the full-resolution stem blocks are the largest traffic
+sites (tools/profile_flagship.py --breakdown: image blocks 0-2 dominate).
+The XLA lowering of ``PackedConvBlock`` (models/encoder.py) makes ~7
+full-resolution HBM round trips per block forward: conv1 -> relu+dropout
+fusion -> conv2 -> relu+dropout -> instance-norm stats pass -> normalize
+pass -> conv3. Each intermediate is materialized because XLA does not fuse
+across convolution boundaries.
+
+Fused layout (this module): two passes with everything between convs kept
+in VMEM —
+
+  K1: x --[conv1 + bias + relu + dropout-site1 + conv2 + bias + relu +
+      dropout-site2]--> y2, plus the instance-norm (sum, sum-of-squares)
+      statistics accumulated on the way out.
+  K2: y2 --[normalize (mean/inv from K1 stats) + conv3 + bias + relu +
+      dropout-site3]--> out.
+
+Forward HBM traffic drops from ~7 to ~3 tensor round trips per block.
+
+Equivalence: parameters are the reference-shaped [kh, kw, ci, co] kernels;
+widening to packed space (ops/packed_conv.py::widen_width_kernel) happens
+outside the kernel so checkpoints/imports are untouched and weight
+gradients flow through the (static) scatter. The dropout semantics are the
+exact ``MixDropout.site_factors`` draw (models/encoder.py): callers pass
+the RAW u8 bits tensor + (pos, use_elem, channel-factor) drawn with the
+same PRNG splits, so fused and unfused paths produce identical masks from
+identical keys. ``reference_block`` below is the jnp mirror used for the
+custom-vjp backward (recompute style) and for f64 equivalence tests.
+
+Geometry: requires packed-space width stride 1 (f_out*sw == f_in), which
+holds on the whole stem ladder f: 8 -> 4 -> 2 -> 1 (see packed_conv.py);
+height stride sh in {1, 2}. Height halos are fetched by per-row async
+copies from HBM (clamped + zero-filled at edges), so ragged tiles and
+image borders reproduce the original conv's zero padding exactly.
+
+Reference behavior being reproduced: ConvBlock of
+``/root/reference/src/transformer/encoder.py:107-181`` (3x conv + relu,
+positioned MixDropout, InstanceNorm2d(eps=1e-3) before the strided conv).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from omr_a2s_multimodal_transformer_tpu.ops.packed_conv import widen_width_kernel
+
+__all__ = ["fused_packed_block", "reference_block", "make_drop_ctx"]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# --------------------------------------------------------------------- drop
+
+
+def make_drop_ctx(rng, p: float, shape12, c_orig: int, dtype) -> Dict:
+    """Draw the positioned-MixDropout randomness once, kernel-consumable.
+
+    Mirrors ``_block_site_factors`` + ``MixDropout.site_factors``
+    (models/encoder.py) bit-for-bit: same split order, same u8 Bernoulli
+    (keep threshold quantized to 1/256), same per-original-channel
+    channel-dropout factor tiled over packed slots.
+
+    shape12 = (B, H, Wp, C) with C = f * c_orig (slot-major, c minor).
+    """
+    b, h, wp, c_rep = shape12
+    f = c_rep // c_orig
+    r_pos, r_site = jax.random.split(rng)
+    pos = jax.random.randint(r_pos, (), 1, 4)
+    r_coin, r_elem, r_chan = jax.random.split(r_site, 3)
+    use_elem = jax.random.bernoulli(r_coin, 0.5)
+    bits = jax.random.bits(r_elem, shape12, jnp.uint8)
+    keep_c = jax.random.bernoulli(r_chan, 1.0 - p / 2.0, (b, 1, 1, c_orig))
+    inv_c = jnp.asarray(1.0 / (1.0 - p / 2.0), jnp.float32)
+    f_chan = jnp.tile(keep_c.astype(jnp.float32) * inv_c, (1, 1, 1, f))[:, 0, 0, :]  # [B, C]
+    t = int(round((1.0 - p) * 256.0))
+    return {
+        "bits": bits,                       # [B, H, Wp, C] u8
+        "f_chan": f_chan,                   # [B, C] f32 (tiled over slots)
+        "pos": pos.astype(jnp.int32),       # scalar 1..3
+        "use_elem": use_elem.astype(jnp.int32),
+        "t": t,                             # static keep threshold (u8 compare)
+        "inv_e": float(1.0 / (1.0 - p)),    # static elem scale
+    }
+
+
+def _site_factor(drop: Optional[Dict], site: int, bits, fchan, dtype):
+    """Multiplicative factor for one dropout site from raw draws.
+
+    bits: [..., C'] u8 slice; fchan: [C'] or [B-broadcastable, C'].
+    Matches MixDropout.site_factors: factor where pos==site, 1 elsewhere.
+    """
+    if drop is None:
+        return None
+    f_elem = (bits < jnp.uint8(drop["t"])).astype(dtype) * jnp.asarray(drop["inv_e"], dtype)
+    fac = jnp.where(drop["use_elem"] == 1, f_elem, fchan.astype(dtype))
+    return jnp.where(drop["pos"] == site, fac, jnp.ones((), dtype))
+
+
+# ---------------------------------------------------------- jnp reference
+
+
+def reference_block(
+    x: jnp.ndarray,
+    w1, b1, w2, b2, w3, b3,
+    *,
+    f_in: int,
+    f_out: int,
+    stride: Tuple[int, int],
+    drop: Optional[Dict] = None,
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    """Pure-jnp mirror of the fused kernels (packed_conv + instance norm +
+    site factors from the SAME raw draws). Used as the custom-vjp backward
+    (recompute style) and as the equivalence oracle in tests."""
+    from omr_a2s_multimodal_transformer_tpu.ops.norm import instance_norm_packed
+    from omr_a2s_multimodal_transformer_tpu.ops.packed_conv import packed_conv
+
+    sh, sw = stride
+    b, h, wp, _ = x.shape
+    co = w1.shape[-1]
+    c_rep = f_in * co
+    h3 = _cdiv(h, sh)
+    c3 = f_out * co
+
+    f1 = f2 = f3 = None
+    if drop is not None:
+        dt = x.dtype
+        f1 = _site_factor(drop, 1, drop["bits"], drop["f_chan"][:, None, None, :], dt)
+        f2 = _site_factor(drop, 2, drop["bits"], drop["f_chan"][:, None, None, :], dt)
+        f3 = _site_factor(
+            drop, 3, drop["bits"][:, :h3, :wp, :c3], drop["f_chan"][:, None, None, :c3], dt
+        )
+
+    def mul(v, f):
+        return v if f is None else v * f
+
+    y = packed_conv(x, w1, b1, f_in, f_in, (1, 1))
+    y = mul(jax.nn.relu(y), f1).astype(x.dtype)
+    y = packed_conv(y, w2, b2, f_in, f_in, (1, 1))
+    y = mul(jax.nn.relu(y), f2).astype(x.dtype)
+    y = instance_norm_packed(y, f_in, eps=eps)
+    y = packed_conv(y.astype(x.dtype), w3, b3, f_in, f_out, stride)
+    y = mul(jax.nn.relu(y), f3).astype(x.dtype)
+    return y
+
+
+# ------------------------------------------------------------- K1 (pass A)
+#
+# Grid (B, nth+1), lag-one pipeline: step i computes OUTPUT tile j = i-1
+# (rows [j*th, j*th+th)) while the blocked in_specs deliver input block
+# min(i, nth-1) — i.e. block j+1, the bottom halo. Scratch carries the
+# previous rows ([j*th-2, j*th+th) for x, [j*th-1, j*th+th) for bits), so
+# every halo row is available without manual DMAs (Mosaic requires 128-
+# multiple minor dims for sliced async copies; blocked specs don't).
+
+
+def _pad_w(v, left, right):
+    if left == 0 and right == 0:
+        return v
+    return jnp.pad(v, ((0, 0), (left, right), (0, 0)))
+
+
+def _k1_kernel(
+    scal_i, scal_f, x_ref, bits_ref, fchan_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    y2_ref, stats_ref,
+    cbx, cbb,
+    *, H, Wp, th, nth, cin, C, co, f, kw1, pl1, kw2, pl2, kh, has_drop, acc_dtype,
+):
+    i = pl.program_id(1)
+    out_dtype = y2_ref.dtype
+    j = i - 1  # output tile index (valid for i >= 1)
+    row0 = j * th - 2  # first row held in the assembled x window
+
+    @pl.when(i == 0)
+    def _init_carry():
+        # cbx <- rows [-2, th): two zero border rows + block 0
+        cbx[0:2] = jnp.zeros((2, Wp, cin), cbx.dtype)
+        cbx[2:] = x_ref[0]
+        if has_drop:
+            cbb[0:1] = jnp.zeros((1, Wp, C), cbb.dtype)
+            cbb[1:] = bits_ref[0]
+
+    @pl.when(i == 0)
+    def _placeholder_out():
+        y2_ref[0] = jnp.zeros_like(y2_ref[0])
+
+    @pl.when(i > 0)
+    def _compute():
+        # assembled x rows [j*th-2, j*th+th+2): carry + next block's head.
+        # At i == nth the "next block" is a clamped revisit of block nth-1;
+        # its head rows alias rows >= H and are zeroed by the valid masks.
+        xv = jnp.concatenate([cbx[...], x_ref[0, 0:2]], axis=0)
+        xv = _pad_w(xv, pl1, kw1 - 1 - pl1)
+        rowsx = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0) + row0
+        xv = jnp.where((rowsx >= 0) & (rowsx < H), xv, 0)
+        if has_drop:
+            bsv = jnp.concatenate([cbb[...], bits_ref[0, 0:1]], axis=0)
+        else:
+            bsv = None
+        _k1_compute(
+            xv, bsv, scal_i, scal_f, fchan_ref, w1_ref, b1_ref, w2_ref,
+            b2_ref, y2_ref, stats_ref, i=i, j=j, H=H, Wp=Wp, th=th, cin=cin,
+            C=C, co=co, f=f, kw1=kw1, kw2=kw2, pl2=pl2, kh=kh,
+            has_drop=has_drop, acc_dtype=acc_dtype, out_dtype=out_dtype,
+        )
+
+    # carry update for the next step: rows [(j+1)*th-2, (j+1)*th+th)
+    new_cbx_head = jnp.concatenate([cbx[th:th + 2], x_ref[0]], axis=0)
+    cbx[...] = new_cbx_head
+    if has_drop:
+        cbb[...] = jnp.concatenate([cbb[th:th + 1], bits_ref[0]], axis=0)
+
+
+def _k1_compute(
+    xv, bsv, scal_i, scal_f, fchan_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    y2_ref, stats_ref,
+    *, i, j, H, Wp, th, cin, C, co, f, kw1, kw2, pl2, kh, has_drop,
+    acc_dtype, out_dtype,
+):
+    # ---- conv1 + bias + relu + site-1 dropout -> h1 rows [j*th-1, j*th+th+1)
+    acc = jnp.zeros(((th + 2) * Wp, C), acc_dtype)
+    for dh in range(kh):
+        for dj in range(kw1):
+            sl = xv[dh:dh + th + 2, dj:dj + Wp].reshape((th + 2) * Wp, cin)
+            acc = acc + jax.lax.dot_general(
+                sl, w1_ref[dh, dj], (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )
+    z1 = acc.reshape(th + 2, Wp, C) + b1_ref[0].astype(acc_dtype)
+    h1 = jnp.maximum(z1, 0)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (th + 2, Wp, 1), 0) + (j * th - 1)
+    valid1 = (rows1 >= 0) & (rows1 < H)
+    if has_drop:
+        f_elem = (bsv.astype(jnp.int32) < scal_i[2]).astype(acc_dtype) * scal_f[0].astype(acc_dtype)
+        f_ch = fchan_ref[0, 0].astype(acc_dtype)[None, None, :]
+        base = jnp.where(scal_i[1] == 1, f_elem, f_ch)
+        one = jnp.ones((), acc_dtype)
+        h1 = h1 * jnp.where(scal_i[0] == 1, base, one)
+    h1 = jnp.where(valid1, h1, 0)
+    hv = _pad_w(h1.astype(out_dtype), pl2, kw2 - 1 - pl2)
+
+    # ---- conv2 + bias + relu + site-2 dropout -> y2 rows [j*th, j*th+th)
+    acc2 = jnp.zeros((th * Wp, C), acc_dtype)
+    for dh in range(kh):
+        for dj in range(kw2):
+            sl = hv[dh:dh + th, dj:dj + Wp].reshape(th * Wp, C)
+            acc2 = acc2 + jax.lax.dot_general(
+                sl, w2_ref[dh, dj], (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )
+    z2 = acc2.reshape(th, Wp, C) + b2_ref[0].astype(acc_dtype)
+    y2 = jnp.maximum(z2, 0)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (th, Wp, 1), 0) + j * th
+    valid2 = rows2 < H
+    if has_drop:
+        f_elem = (bsv[1:th + 1].astype(jnp.int32) < scal_i[2]).astype(acc_dtype) * scal_f[0].astype(acc_dtype)
+        f_ch = fchan_ref[0, 0].astype(acc_dtype)[None, None, :]
+        base = jnp.where(scal_i[1] == 1, f_elem, f_ch)
+        one = jnp.ones((), acc_dtype)
+        y2 = y2 * jnp.where(scal_i[0] == 2, base, one)
+    y2 = jnp.where(valid2, y2, 0)
+    y2c = y2.astype(out_dtype)
+    y2_ref[0] = y2c
+
+    # ---- instance-norm statistics of the STORED (rounded) y2.
+    # Slot-fold via a 0/1 selector matmul: Mosaic can't split the minor
+    # (lane) dim [C] -> [f, co], but [1,C] @ [C,co] reduces slots exactly.
+    ys = y2c.astype(acc_dtype)
+    flat = ys.reshape(th * Wp, C)
+    t1 = flat.sum(axis=0, keepdims=True)            # [1, C]
+    t2 = (flat * flat).sum(axis=0, keepdims=True)   # [1, C]
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (C, co), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (C, co), 1)
+    sel = (jax.lax.rem(rows_i, jnp.asarray(co, rows_i.dtype)) == cols_i).astype(acc_dtype)
+    dn = (((1,), (0,)), ((), ()))
+    s1 = jax.lax.dot_general(t1, sel, dn, preferred_element_type=acc_dtype)
+    s2 = jax.lax.dot_general(t2, sel, dn, preferred_element_type=acc_dtype)
+    st = jnp.concatenate([s1, s2], axis=0)  # [2, co]
+
+    @pl.when(i == 1)
+    def _init():
+        stats_ref[0] = st
+
+    @pl.when(i > 1)
+    def _acc():
+        stats_ref[0] = stats_ref[0] + st
+
+
+# ------------------------------------------------------------- K2 (pass B)
+
+
+def _k2_kernel(
+    scal_i, scal_f, y2_ref, bits3_ref, fchan_ref, mi_ref, w3_ref, b3_ref,
+    out_ref,
+    cby,
+    *, H, H3, Wp, th, tho, C, C3, sh, kw3, pl3, kh, has_drop, acc_dtype,
+):
+    i = pl.program_id(1)
+    out_dtype = out_ref.dtype
+    j = i - 1                  # output tile (rows [j*tho, j*tho+tho) of H3)
+    row0 = j * th - (kh // 2)  # first assembled y2 row
+
+    @pl.when(i == 0)
+    def _init_carry():
+        cby[0:1] = jnp.zeros((1, Wp, C), cby.dtype)
+        cby[1:] = y2_ref[0]
+
+    @pl.when(i == 0)
+    def _placeholder_out():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(i > 0)
+    def _compute():
+        mean = mi_ref[0, 0].astype(acc_dtype)    # [C] (tiled per slot)
+        inv = mi_ref[0, 1].astype(acc_dtype)
+        # assembled y2 rows [j*th-1, j*th+th+1)
+        ysv = jnp.concatenate([cby[...], y2_ref[0, 0:1]], axis=0)
+        ysv = _pad_w(ysv, pl3, kw3 - 1 - pl3)
+        rows_alloc = th + 2
+        yv = ysv.astype(acc_dtype)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_alloc, 1, 1), 0) + row0
+        validr = (rows >= 0) & (rows < H)
+        xh = (yv - mean[None, None, :]) * inv[None, None, :]
+        # width borders are zero in ysv; keep them zero through the normalize
+        if pl3 > 0 or kw3 - 1 - pl3 > 0:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, Wp + kw3 - 1, 1), 1)
+            colmask = ((cols >= pl3) & (cols < pl3 + Wp)).astype(acc_dtype)
+            xh = xh * colmask
+        xh = jnp.where(validr, xh, 0).astype(ysv.dtype)
+        _k2_compute(
+            xh, scal_i, scal_f, bits3_ref, fchan_ref, w3_ref, b3_ref, out_ref,
+            rows_alloc=rows_alloc, Wp=Wp, th=th, tho=tho, C=C, C3=C3, sh=sh,
+            kw3=kw3, kh=kh, has_drop=has_drop, acc_dtype=acc_dtype,
+            out_dtype=out_dtype,
+        )
+
+    cby[...] = jnp.concatenate([cby[th:th + 1], y2_ref[0]], axis=0)
+
+
+def _k2_compute(
+    xh, scal_i, scal_f, bits3_ref, fchan_ref, w3_ref, b3_ref, out_ref,
+    *, rows_alloc, Wp, th, tho, C, C3, sh, kw3, kh, has_drop, acc_dtype,
+    out_dtype,
+):
+
+    acc = jnp.zeros((tho * Wp, C3), acc_dtype)
+    if sh == 1:
+        for dh in range(kh):
+            for dj in range(kw3):
+                sl = xh[dh:dh + tho, dj:dj + Wp].reshape(tho * Wp, C)
+                acc = acc + jax.lax.dot_general(
+                    sl, w3_ref[dh, dj], (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dtype,
+                )
+    else:  # sh == 2: even/odd pair view avoids strided sublane reads
+        xp = xh.reshape(rows_alloc // 2, 2, Wp + kw3 - 1, C)
+        for dh in range(kh):
+            q, par = divmod(dh, 2)
+            sl_rows = xp[q:q + tho, par]  # rows r*2 + dh
+            for dj in range(kw3):
+                sl = sl_rows[:, dj:dj + Wp].reshape(tho * Wp, C)
+                acc = acc + jax.lax.dot_general(
+                    sl, w3_ref[dh, dj], (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dtype,
+                )
+    z3 = acc.reshape(tho, Wp, C3) + b3_ref[0].astype(acc_dtype)
+    y3 = jnp.maximum(z3, 0)
+    if has_drop:
+        f_elem = (bits3_ref[0, :, :, :C3].astype(jnp.int32) < scal_i[2]).astype(acc_dtype) * scal_f[0].astype(acc_dtype)
+        f_ch = fchan_ref[0, 0, :C3].astype(acc_dtype)[None, None, :]
+        base = jnp.where(scal_i[1] == 1, f_elem, f_ch)
+        one = jnp.ones((), acc_dtype)
+        y3 = y3 * jnp.where(scal_i[0] == 3, base, one)
+    out_ref[0] = y3.astype(out_dtype)
+
+
+# ------------------------------------------------------------------ driver
+
+
+def _fwd_impl(x, w1b, b1t, w2b, b2t, w3b, b3t, bits, f_chan, scal_i, scal_f,
+              *, f_in, f_out, sh, eps, has_drop, th, tho, interpret):
+    B, H, Wp, cin = x.shape
+    kh, kw1, _, C = w1b.shape
+    kw2 = w2b.shape[1]
+    kw3 = w3b.shape[1]
+    C3 = w3b.shape[3]
+    co = C // f_in
+    H3 = _cdiv(H, sh)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    stat_dtype = acc_dtype
+    # widened-kernel left pads (packed_conv: pl = -dmin)
+    pl1 = _wk_leftpad(kw1, f_in, f_in, 1)
+    pl2 = _wk_leftpad(kw2, f_in, f_in, 1)
+    pl3 = _wk_leftpad(kw3, f_in, f_out, f_in // f_out if f_out else 1)
+
+    nth = _cdiv(H, th)
+    lastb = nth - 1
+
+    if has_drop:
+        bits_spec = pl.BlockSpec(
+            (1, th, Wp, C), lambda b, i, *_: (b, jnp.minimum(i, lastb), 0, 0))
+    else:
+        bits_spec = pl.BlockSpec((1, 1, 1, 1), lambda b, i, *_: (0, 0, 0, 0))
+        bits = jnp.zeros((1, 1, 1, 1), jnp.uint8)
+
+    k1_scratch = [
+        pltpu.VMEM((th + 2, Wp, cin), x.dtype),                      # cbx
+        pltpu.VMEM((th + 1, Wp, C) if has_drop else (1, 1, 1), jnp.uint8),
+    ]
+    y2, stats = pl.pallas_call(
+        functools.partial(
+            _k1_kernel, H=H, Wp=Wp, th=th, nth=nth, cin=cin, C=C, co=co,
+            f=f_in, kw1=kw1, pl1=pl1, kw2=kw2, pl2=pl2, kh=kh,
+            has_drop=has_drop, acc_dtype=acc_dtype,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, nth + 1),
+            in_specs=[
+                pl.BlockSpec((1, th, Wp, cin),
+                             lambda b, i, *_: (b, jnp.minimum(i, lastb), 0, 0)),
+                bits_spec,
+                pl.BlockSpec((1, 1, C), lambda b, i, *_: (b, 0, 0)),    # f_chan
+                pl.BlockSpec(w1b.shape, lambda b, i, *_: (0, 0, 0, 0)),  # w1b
+                pl.BlockSpec((1, C), lambda b, i, *_: (0, 0)),          # b1t
+                pl.BlockSpec(w2b.shape, lambda b, i, *_: (0, 0, 0, 0)),  # w2b
+                pl.BlockSpec((1, C), lambda b, i, *_: (0, 0)),          # b2t
+            ],
+            out_specs=[
+                pl.BlockSpec((1, th, Wp, C),
+                             lambda b, i, *_: (b, jnp.maximum(i - 1, 0), 0, 0)),
+                pl.BlockSpec((1, 2, co), lambda b, i, *_: (b, 0, 0)),
+            ],
+            scratch_shapes=k1_scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Wp, C), x.dtype),
+            jax.ShapeDtypeStruct((B, 2, co), stat_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # v5e has 128 MiB physical VMEM; the 16 MiB default scoped limit
+            # is what binds the tile height. 64 MiB leaves headroom for XLA.
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(scal_i, scal_f, x, bits, f_chan[:, None, :], w1b, b1t, w2b, b2t)
+
+    n = H * Wp * f_in
+    mean = stats[:, 0] / n                       # [B, co]
+    var = jnp.maximum(stats[:, 1] / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    mi = jnp.stack([jnp.tile(mean, (1, f_in)), jnp.tile(inv, (1, f_in))], axis=1)  # [B,2,C]
+
+    # K2 tiles the strided output by tho rows; its y2 input blocks by
+    # th2 = tho*sh rows (same lag-one pipeline as K1).
+    th2 = tho * sh
+    ntho = _cdiv(H3, tho)
+    if has_drop:
+        # site 3 consumes the [:, :H3, :, :C3] corner of the bits draw (same
+        # slice the reference path takes). Blocks read full-C rows (block dims
+        # equal to array dims are always legal) and slice channels in-kernel —
+        # no materialized bits copy.
+        bits3 = bits
+        bits3_spec = pl.BlockSpec(
+            (1, tho, Wp, C), lambda b, i, *_: (b, jnp.maximum(i - 1, 0), 0, 0))
+    else:
+        bits3 = jnp.zeros((1, 1, 1, 1), jnp.uint8)
+        bits3_spec = pl.BlockSpec((1, 1, 1, 1), lambda b, i, *_: (0, 0, 0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _k2_kernel, H=H, H3=H3, Wp=Wp, th=th2, tho=tho, C=C, C3=C3,
+            sh=sh, kw3=kw3, pl3=pl3, kh=kh, has_drop=has_drop,
+            acc_dtype=acc_dtype,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, ntho + 1),
+            in_specs=[
+                pl.BlockSpec((1, th2, Wp, C),
+                             lambda b, i, *_: (b, jnp.minimum(i, ntho - 1), 0, 0)),
+                bits3_spec,                             # bits corner (site 3)
+                pl.BlockSpec((1, 1, C), lambda b, i, *_: (b, 0, 0)),  # f_chan
+                pl.BlockSpec((1, 2, C), lambda b, i, *_: (b, 0, 0)),  # mean/inv
+                pl.BlockSpec(w3b.shape, lambda b, i, *_: (0, 0, 0, 0)),
+                pl.BlockSpec((1, C3), lambda b, i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tho, Wp, C3), lambda b, i, *_: (b, jnp.maximum(i - 1, 0), 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((th2 + 1, Wp, C), x.dtype),               # cby
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H3, Wp, C3), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # v5e has 128 MiB physical VMEM; the 16 MiB default scoped limit
+            # is what binds the tile height. 64 MiB leaves headroom for XLA.
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(scal_i, scal_f, y2, bits3, f_chan[:, None, :], mi, w3b, b3t)
+    return out
+
+
+def _wk_leftpad(kw: int, f_in: int, f_out: int, sw: int) -> int:
+    """-dmin of widen_width_kernel for this geometry (static)."""
+    pw = kw // 2
+    offs = [(q * sw + kx - pw) // f_in for q in range(f_out) for kx in range(kw)]
+    return -min(offs)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fused(f_in: int, f_out: int, sh: int, sw: int, eps: float,
+                has_drop: bool, t: int, inv_e: float,
+                th: int, tho: int, interpret: bool):
+    """One custom_vjp per static config. Differentiable in (x, w1..b3);
+    backward is the recompute-style vjp of ``reference_block`` (exact same
+    math; Pallas backward kernels are the planned next stage)."""
+
+    def widen_all(w1, b1, w2, b2, w3, b3):
+        w1b, _ = widen_width_kernel(w1, f_in, f_in, 1)
+        w2b, _ = widen_width_kernel(w2, f_in, f_in, 1)
+        w3b, _ = widen_width_kernel(w3, f_in, f_out, sw)
+        b1t = jnp.tile(b1, f_in)[None, :]
+        b2t = jnp.tile(b2, f_in)[None, :]
+        b3t = jnp.tile(b3, f_out)[None, :]
+        return w1b, b1t, w2b, b2t, w3b, b3t
+
+    def run_fwd(x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem):
+        w1b, b1t, w2b, b2t, w3b, b3t = widen_all(w1, b1, w2, b2, w3, b3)
+        dt = jnp.promote_types(x.dtype, w1.dtype)
+        scal_i = jnp.stack([pos, use_elem, jnp.asarray(t, jnp.int32)]).astype(jnp.int32)
+        # the elem-dropout scale must carry full precision in f64 tests
+        scal_f = jnp.asarray([inv_e], jnp.promote_types(x.dtype, jnp.float32))
+        return _fwd_impl(
+            x.astype(dt), w1b.astype(dt), b1t.astype(dt), w2b.astype(dt),
+            b2t.astype(dt), w3b.astype(dt), b3t.astype(dt), bits,
+            f_chan, scal_i, scal_f,
+            f_in=f_in, f_out=f_out, sh=sh, eps=eps, has_drop=has_drop,
+            th=th, tho=tho, interpret=interpret,
+        )
+
+    def ref(x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem):
+        drop = None
+        if has_drop:
+            drop = {"bits": bits, "f_chan": f_chan, "pos": pos,
+                    "use_elem": use_elem, "t": t, "inv_e": inv_e}
+        return reference_block(
+            x, w1, b1, w2, b2, w3, b3,
+            f_in=f_in, f_out=f_out, stride=(sh, sw), drop=drop, eps=eps,
+        )
+
+    @jax.custom_vjp
+    def fused(x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem):
+        return run_fwd(x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem)
+
+    def fwd_rule(x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem):
+        out = run_fwd(x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem)
+        return out, (x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem)
+
+    def bwd_rule(res, g):
+        x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem = res
+        _, vjp = jax.vjp(lambda *a: ref(*a, bits, f_chan, pos, use_elem),
+                         x, w1, b1, w2, b2, w3, b3)
+        dx, dw1, db1, dw2, db2, dw3, db3 = vjp(g)
+        f0 = lambda v: np.zeros(v.shape, dtype=jax.dtypes.float0)  # noqa: E731
+        dfchan = jnp.zeros_like(f_chan)
+        return (dx, dw1, db1, dw2, db2, dw3, db3, f0(bits), dfchan,
+                f0(pos), f0(use_elem))
+
+    fused.defvjp(fwd_rule, bwd_rule)
+    return fused
+
+
+def fused_packed_block(
+    x: jnp.ndarray,
+    w1, b1, w2, b2, w3, b3,
+    *,
+    f_in: int,
+    f_out: int,
+    stride: Tuple[int, int],
+    drop: Optional[Dict] = None,
+    eps: float = 1e-3,
+    tile_h: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused packed ConvBlock forward (see module docstring).
+
+    x: [B, H, Wp, f_in*ci]; w1 [kh,kw,ci,co], w2/w3 [kh,kw,co,co] in
+    reference shapes; returns [B, ceil(H/sh), Wp, f_out*co]. ``drop``
+    from ``make_drop_ctx`` (None = deterministic).
+    """
+    sh, sw = stride
+    if f_out * sw != f_in:
+        raise ValueError(
+            f"fused_packed_block needs packed-space width stride 1 "
+            f"(f_out*sw == f_in); got f_in={f_in} f_out={f_out} sw={sw}"
+        )
+    if sh not in (1, 2):
+        raise ValueError(f"height stride must be 1 or 2, got {sh}")
+    if interpret is None:
+        interpret = _default_interpret()
+    # Tile height from the VMEM budget: the f32 accumulator [(th+2)*Wp, C]
+    # dominates; keep it ~<=4 MB so scratch + double-buffered outs fit in 16.
+    Wp_ = x.shape[2]
+    C_ = f_in * w1.shape[-1]
+    th = tile_h or max(2, min(8, (4 * 2**20) // max(1, Wp_ * C_ * 4) - 2))
+    tho = max(1, th // sh)
+    has_drop = drop is not None
+    fn = _make_fused(
+        f_in, f_out, sh, sw, float(eps), has_drop,
+        int(drop["t"]) if has_drop else 255,
+        float(drop["inv_e"]) if has_drop else 1.0,
+        int(th), int(tho), bool(interpret),
+    )
+    B, _, Wp, _ = x.shape
+    C = f_in * w1.shape[-1]
+    if has_drop:
+        bits, f_chan = drop["bits"], drop["f_chan"]
+        pos, use_elem = drop["pos"], drop["use_elem"]
+    else:
+        bits = jnp.zeros((B, 1, Wp, C), jnp.uint8)
+        f_chan = jnp.ones((B, C), jnp.float32)
+        pos = jnp.zeros((), jnp.int32)
+        use_elem = jnp.zeros((), jnp.int32)
+    return fn(x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem)

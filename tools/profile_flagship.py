@@ -35,6 +35,7 @@ def main():
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--breakdown", type=int, default=0,
                    help="print top-N HLO op groups by static bytes (tools/hlo_bytes.py)")
+    p.add_argument("--dump_hlo", default=None, help="write optimized HLO text here")
     args = p.parse_args()
     cfg = dict(CONFIGS[args.mode])
     if args.no_flash:
@@ -117,6 +118,10 @@ def main():
         from tools import hlo_bytes
 
         hlo_bytes.print_top(compiled, top=args.breakdown)
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+        print(f"# HLO -> {args.dump_hlo}")
 
     fn = compiled
     # the compiled fn takes only array args (static modality is baked in)
