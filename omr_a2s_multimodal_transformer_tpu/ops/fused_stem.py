@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from omr_a2s_multimodal_transformer_tpu.ops.packed_conv import widen_width_kernel
+from omr_a2s_multimodal_transformer_tpu.ops.packed_conv import patch_kernel
 
 __all__ = ["fused_packed_block", "reference_block", "make_drop_ctx"]
 
@@ -177,11 +177,56 @@ def _pad_w(v, left, right):
     return jnp.pad(v, ((0, 0), (left, right), (0, 0)))
 
 
+# Convs run as in-VMEM patched im2col (the FLOP-minimal 'patched' layout of
+# ops/packed_conv.py, but with the patch tensor built in registers instead
+# of HBM): gather the n_cols = (f_out-1)*sw + kw original columns each
+# packed cell's outputs read (lane slices of the left/right neighbor cells),
+# stack the kh row-shifts on the lane axis, and hit the MXU with ONE
+# [rows*Wp, kh*n_cols*ci] @ [kh*n_cols*ci, f_out*co] dot per conv —
+# n_cols/kw x the original FLOPs (vs ~f_in x for zero-widened kernels) at
+# K >= 96 contraction depth.
+
+
+def _patch_cols(v, f_in, ci, n_cols):
+    """v [rows, Wp+2, f_in*ci] (one halo cell each side) ->
+    [rows, Wp, n_cols*ci]: original columns [P*f_in - 1, P*f_in - 1 + n_cols)
+    per packed cell P (kw=3, pw=1)."""
+    rows, wp2, _ = v.shape
+    wp = wp2 - 2
+    n_right = n_cols - 1 - f_in
+    parts = [v[:, 0:wp, (f_in - 1) * ci:], v[:, 1:wp + 1, :]]
+    if n_right > 0:
+        parts.append(v[:, 2:wp + 2, :n_right * ci])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _conv_patched(patch, wflat, rows_out, wp, acc_dtype, sh=1):
+    """patch [rows_in, Wp, n_cols*ci] -> [rows_out, Wp, Cout] f32 via one
+    dot against wflat [kh*n_cols*ci, Cout] (kh=3, dh-major lane order).
+    sh=2 uses the even/odd pair view to avoid strided sublane reads."""
+    kh = 3
+    if sh == 1:
+        big = jnp.concatenate([patch[dh:dh + rows_out] for dh in range(kh)], axis=-1)
+    else:
+        ra = patch.shape[0]
+        xp = patch.reshape(ra // 2, 2, wp, patch.shape[-1])
+        sls = []
+        for dh in range(kh):
+            q, par = divmod(dh, 2)
+            sls.append(xp[q:q + rows_out, par])  # rows r*2 + dh
+        big = jnp.concatenate(sls, axis=-1)
+    k = big.shape[-1]
+    acc = jax.lax.dot_general(
+        big.reshape(rows_out * wp, k), wflat, (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)
+    return acc.reshape(rows_out, wp, wflat.shape[-1])
+
+
 def _k1_kernel(
     scal_i, scal_f, x_ref, bits_ref, fchan_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y2_ref, stats_ref,
     cbx, cbb,
-    *, H, Wp, th, nth, cin, C, co, f, kw1, pl1, kw2, pl2, kh, has_drop, acc_dtype,
+    *, H, Wp, th, nth, ci, C, co, f, n1, n2, has_drop, acc_dtype,
 ):
     i = pl.program_id(1)
     out_dtype = y2_ref.dtype
@@ -191,7 +236,7 @@ def _k1_kernel(
     @pl.when(i == 0)
     def _init_carry():
         # cbx <- rows [-2, th): two zero border rows + block 0
-        cbx[0:2] = jnp.zeros((2, Wp, cin), cbx.dtype)
+        cbx[0:2] = jnp.zeros((2,) + cbx.shape[1:], cbx.dtype)
         cbx[2:] = x_ref[0]
         if has_drop:
             cbb[0:1] = jnp.zeros((1, Wp, C), cbb.dtype)
@@ -207,7 +252,7 @@ def _k1_kernel(
         # At i == nth the "next block" is a clamped revisit of block nth-1;
         # its head rows alias rows >= H and are zeroed by the valid masks.
         xv = jnp.concatenate([cbx[...], x_ref[0, 0:2]], axis=0)
-        xv = _pad_w(xv, pl1, kw1 - 1 - pl1)
+        xv = _pad_w(xv, 1, 1)  # one halo CELL each side (patched gather)
         rowsx = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0) + row0
         xv = jnp.where((rowsx >= 0) & (rowsx < H), xv, 0)
         if has_drop:
@@ -216,8 +261,8 @@ def _k1_kernel(
             bsv = None
         _k1_compute(
             xv, bsv, scal_i, scal_f, fchan_ref, w1_ref, b1_ref, w2_ref,
-            b2_ref, y2_ref, stats_ref, i=i, j=j, H=H, Wp=Wp, th=th, cin=cin,
-            C=C, co=co, f=f, kw1=kw1, kw2=kw2, pl2=pl2, kh=kh,
+            b2_ref, y2_ref, stats_ref, i=i, j=j, H=H, Wp=Wp, th=th, ci=ci,
+            C=C, co=co, f=f, n1=n1, n2=n2,
             has_drop=has_drop, acc_dtype=acc_dtype, out_dtype=out_dtype,
         )
 
@@ -231,19 +276,13 @@ def _k1_kernel(
 def _k1_compute(
     xv, bsv, scal_i, scal_f, fchan_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y2_ref, stats_ref,
-    *, i, j, H, Wp, th, cin, C, co, f, kw1, kw2, pl2, kh, has_drop,
+    *, i, j, H, Wp, th, ci, C, co, f, n1, n2, has_drop,
     acc_dtype, out_dtype,
 ):
     # ---- conv1 + bias + relu + site-1 dropout -> h1 rows [j*th-1, j*th+th+1)
-    acc = jnp.zeros(((th + 2) * Wp, C), acc_dtype)
-    for dh in range(kh):
-        for dj in range(kw1):
-            sl = xv[dh:dh + th + 2, dj:dj + Wp].reshape((th + 2) * Wp, cin)
-            acc = acc + jax.lax.dot_general(
-                sl, w1_ref[dh, dj], (((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype,
-            )
-    z1 = acc.reshape(th + 2, Wp, C) + b1_ref[0].astype(acc_dtype)
+    patch1 = _patch_cols(xv, f, ci, n1)
+    z1 = _conv_patched(patch1, w1_ref[...], th + 2, Wp, acc_dtype)
+    z1 = z1 + b1_ref[0].astype(acc_dtype)
     h1 = jnp.maximum(z1, 0)
     rows1 = jax.lax.broadcasted_iota(jnp.int32, (th + 2, Wp, 1), 0) + (j * th - 1)
     valid1 = (rows1 >= 0) & (rows1 < H)
@@ -254,18 +293,12 @@ def _k1_compute(
         one = jnp.ones((), acc_dtype)
         h1 = h1 * jnp.where(scal_i[0] == 1, base, one)
     h1 = jnp.where(valid1, h1, 0)
-    hv = _pad_w(h1.astype(out_dtype), pl2, kw2 - 1 - pl2)
+    hv = _pad_w(h1.astype(out_dtype), 1, 1)
 
     # ---- conv2 + bias + relu + site-2 dropout -> y2 rows [j*th, j*th+th)
-    acc2 = jnp.zeros((th * Wp, C), acc_dtype)
-    for dh in range(kh):
-        for dj in range(kw2):
-            sl = hv[dh:dh + th, dj:dj + Wp].reshape(th * Wp, C)
-            acc2 = acc2 + jax.lax.dot_general(
-                sl, w2_ref[dh, dj], (((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype,
-            )
-    z2 = acc2.reshape(th, Wp, C) + b2_ref[0].astype(acc_dtype)
+    patch2 = _patch_cols(hv, f, co, n2)
+    z2 = _conv_patched(patch2, w2_ref[...], th, Wp, acc_dtype)
+    z2 = z2 + b2_ref[0].astype(acc_dtype)
     y2 = jnp.maximum(z2, 0)
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (th, Wp, 1), 0) + j * th
     valid2 = rows2 < H
@@ -310,12 +343,12 @@ def _k2_kernel(
     scal_i, scal_f, y2_ref, bits3_ref, fchan_ref, mi_ref, w3_ref, b3_ref,
     out_ref,
     cby,
-    *, H, H3, Wp, th, tho, C, C3, sh, kw3, pl3, kh, has_drop, acc_dtype,
+    *, H, H3, Wp, th, tho, C, C3, sh, n3, f, co, has_drop, acc_dtype,
 ):
     i = pl.program_id(1)
     out_dtype = out_ref.dtype
     j = i - 1                  # output tile (rows [j*tho, j*tho+tho) of H3)
-    row0 = j * th - (kh // 2)  # first assembled y2 row
+    row0 = j * th - 1  # first assembled y2 row
 
     @pl.when(i == 0)
     def _init_carry():
@@ -332,22 +365,22 @@ def _k2_kernel(
         inv = mi_ref[0, 1].astype(acc_dtype)
         # assembled y2 rows [j*th-1, j*th+th+1)
         ysv = jnp.concatenate([cby[...], y2_ref[0, 0:1]], axis=0)
-        ysv = _pad_w(ysv, pl3, kw3 - 1 - pl3)
+        ysv = _pad_w(ysv, 1, 1)  # one halo CELL each side
         rows_alloc = th + 2
         yv = ysv.astype(acc_dtype)
         rows = jax.lax.broadcasted_iota(jnp.int32, (rows_alloc, 1, 1), 0) + row0
         validr = (rows >= 0) & (rows < H)
         xh = (yv - mean[None, None, :]) * inv[None, None, :]
         # width borders are zero in ysv; keep them zero through the normalize
-        if pl3 > 0 or kw3 - 1 - pl3 > 0:
-            cols = jax.lax.broadcasted_iota(jnp.int32, (1, Wp + kw3 - 1, 1), 1)
-            colmask = ((cols >= pl3) & (cols < pl3 + Wp)).astype(acc_dtype)
-            xh = xh * colmask
+        # (conv3's zero pad is POST-norm in the reference)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, Wp + 2, 1), 1)
+        colmask = ((cols >= 1) & (cols < 1 + Wp)).astype(acc_dtype)
+        xh = xh * colmask
         xh = jnp.where(validr, xh, 0).astype(ysv.dtype)
         _k2_compute(
             xh, scal_i, scal_f, bits3_ref, fchan_ref, w3_ref, b3_ref, out_ref,
             rows_alloc=rows_alloc, Wp=Wp, th=th, tho=tho, C=C, C3=C3, sh=sh,
-            kw3=kw3, kh=kh, has_drop=has_drop, acc_dtype=acc_dtype,
+            n3=n3, f=f, co=co, has_drop=has_drop, acc_dtype=acc_dtype,
             out_dtype=out_dtype,
         )
 
@@ -356,31 +389,12 @@ def _k2_kernel(
 
 def _k2_compute(
     xh, scal_i, scal_f, bits3_ref, fchan_ref, w3_ref, b3_ref, out_ref,
-    *, rows_alloc, Wp, th, tho, C, C3, sh, kw3, kh, has_drop, acc_dtype,
+    *, rows_alloc, Wp, th, tho, C, C3, sh, n3, f, co, has_drop, acc_dtype,
     out_dtype,
 ):
-
-    acc = jnp.zeros((tho * Wp, C3), acc_dtype)
-    if sh == 1:
-        for dh in range(kh):
-            for dj in range(kw3):
-                sl = xh[dh:dh + tho, dj:dj + Wp].reshape(tho * Wp, C)
-                acc = acc + jax.lax.dot_general(
-                    sl, w3_ref[dh, dj], (((1,), (0,)), ((), ())),
-                    preferred_element_type=acc_dtype,
-                )
-    else:  # sh == 2: even/odd pair view avoids strided sublane reads
-        xp = xh.reshape(rows_alloc // 2, 2, Wp + kw3 - 1, C)
-        for dh in range(kh):
-            q, par = divmod(dh, 2)
-            sl_rows = xp[q:q + tho, par]  # rows r*2 + dh
-            for dj in range(kw3):
-                sl = sl_rows[:, dj:dj + Wp].reshape(tho * Wp, C)
-                acc = acc + jax.lax.dot_general(
-                    sl, w3_ref[dh, dj], (((1,), (0,)), ((), ())),
-                    preferred_element_type=acc_dtype,
-                )
-    z3 = acc.reshape(tho, Wp, C3) + b3_ref[0].astype(acc_dtype)
+    patch3 = _patch_cols(xh, f, co, n3)
+    z3 = _conv_patched(patch3, w3_ref[...], tho, Wp, acc_dtype, sh=sh)
+    z3 = z3 + b3_ref[0].astype(acc_dtype)
     y3 = jnp.maximum(z3, 0)
     if has_drop:
         f_elem = (bits3_ref[0, :, :, :C3].astype(jnp.int32) < scal_i[2]).astype(acc_dtype) * scal_f[0].astype(acc_dtype)
@@ -394,21 +408,15 @@ def _k2_compute(
 # ------------------------------------------------------------------ driver
 
 
-def _fwd_impl(x, w1b, b1t, w2b, b2t, w3b, b3t, bits, f_chan, scal_i, scal_f,
-              *, f_in, f_out, sh, eps, has_drop, th, tho, interpret):
+def _fwd_impl(x, w1f, b1t, w2f, b2t, w3f, b3t, bits, f_chan, scal_i, scal_f,
+              *, f_in, f_out, sh, eps, has_drop, th, tho, ci, co, n1, n2, n3,
+              interpret):
     B, H, Wp, cin = x.shape
-    kh, kw1, _, C = w1b.shape
-    kw2 = w2b.shape[1]
-    kw3 = w3b.shape[1]
-    C3 = w3b.shape[3]
-    co = C // f_in
+    C = f_in * co
+    C3 = f_out * co
     H3 = _cdiv(H, sh)
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
     stat_dtype = acc_dtype
-    # widened-kernel left pads (packed_conv: pl = -dmin)
-    pl1 = _wk_leftpad(kw1, f_in, f_in, 1)
-    pl2 = _wk_leftpad(kw2, f_in, f_in, 1)
-    pl3 = _wk_leftpad(kw3, f_in, f_out, f_in // f_out if f_out else 1)
 
     nth = _cdiv(H, th)
     lastb = nth - 1
@@ -426,8 +434,8 @@ def _fwd_impl(x, w1b, b1t, w2b, b2t, w3b, b3t, bits, f_chan, scal_i, scal_f,
     ]
     y2, stats = pl.pallas_call(
         functools.partial(
-            _k1_kernel, H=H, Wp=Wp, th=th, nth=nth, cin=cin, C=C, co=co,
-            f=f_in, kw1=kw1, pl1=pl1, kw2=kw2, pl2=pl2, kh=kh,
+            _k1_kernel, H=H, Wp=Wp, th=th, nth=nth, ci=ci, C=C, co=co,
+            f=f_in, n1=n1, n2=n2,
             has_drop=has_drop, acc_dtype=acc_dtype,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -438,9 +446,9 @@ def _fwd_impl(x, w1b, b1t, w2b, b2t, w3b, b3t, bits, f_chan, scal_i, scal_f,
                              lambda b, i, *_: (b, jnp.minimum(i, lastb), 0, 0)),
                 bits_spec,
                 pl.BlockSpec((1, 1, C), lambda b, i, *_: (b, 0, 0)),    # f_chan
-                pl.BlockSpec(w1b.shape, lambda b, i, *_: (0, 0, 0, 0)),  # w1b
+                pl.BlockSpec(w1f.shape, lambda b, i, *_: (0, 0)),       # w1f
                 pl.BlockSpec((1, C), lambda b, i, *_: (0, 0)),          # b1t
-                pl.BlockSpec(w2b.shape, lambda b, i, *_: (0, 0, 0, 0)),  # w2b
+                pl.BlockSpec(w2f.shape, lambda b, i, *_: (0, 0)),       # w2f
                 pl.BlockSpec((1, C), lambda b, i, *_: (0, 0)),          # b2t
             ],
             out_specs=[
@@ -460,7 +468,7 @@ def _fwd_impl(x, w1b, b1t, w2b, b2t, w3b, b3t, bits, f_chan, scal_i, scal_f,
             # is what binds the tile height. 64 MiB leaves headroom for XLA.
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(scal_i, scal_f, x, bits, f_chan[:, None, :], w1b, b1t, w2b, b2t)
+    )(scal_i, scal_f, x, bits, f_chan[:, None, :], w1f, b1t, w2f, b2t)
 
     n = H * Wp * f_in
     mean = stats[:, 0] / n                       # [B, co]
@@ -487,7 +495,7 @@ def _fwd_impl(x, w1b, b1t, w2b, b2t, w3b, b3t, bits, f_chan, scal_i, scal_f,
     out = pl.pallas_call(
         functools.partial(
             _k2_kernel, H=H, H3=H3, Wp=Wp, th=th2, tho=tho, C=C, C3=C3,
-            sh=sh, kw3=kw3, pl3=pl3, kh=kh, has_drop=has_drop,
+            sh=sh, n3=n3, f=f_in, co=co, has_drop=has_drop,
             acc_dtype=acc_dtype,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -499,7 +507,7 @@ def _fwd_impl(x, w1b, b1t, w2b, b2t, w3b, b3t, bits, f_chan, scal_i, scal_f,
                 bits3_spec,                             # bits corner (site 3)
                 pl.BlockSpec((1, 1, C), lambda b, i, *_: (b, 0, 0)),  # f_chan
                 pl.BlockSpec((1, 2, C), lambda b, i, *_: (b, 0, 0)),  # mean/inv
-                pl.BlockSpec(w3b.shape, lambda b, i, *_: (0, 0, 0, 0)),
+                pl.BlockSpec(w3f.shape, lambda b, i, *_: (0, 0)),
                 pl.BlockSpec((1, C3), lambda b, i, *_: (0, 0)),
             ],
             out_specs=pl.BlockSpec(
@@ -515,15 +523,8 @@ def _fwd_impl(x, w1b, b1t, w2b, b2t, w3b, b3t, bits, f_chan, scal_i, scal_f,
             # is what binds the tile height. 64 MiB leaves headroom for XLA.
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(scal_i, scal_f, y2, bits3, f_chan[:, None, :], mi, w3b, b3t)
+    )(scal_i, scal_f, y2, bits3, f_chan[:, None, :], mi, w3f, b3t)
     return out
-
-
-def _wk_leftpad(kw: int, f_in: int, f_out: int, sw: int) -> int:
-    """-dmin of widen_width_kernel for this geometry (static)."""
-    pw = kw // 2
-    offs = [(q * sw + kx - pw) // f_in for q in range(f_out) for kx in range(kw)]
-    return -min(offs)
 
 
 @functools.lru_cache(maxsize=32)
@@ -534,27 +535,36 @@ def _make_fused(f_in: int, f_out: int, sh: int, sw: int, eps: float,
     backward is the recompute-style vjp of ``reference_block`` (exact same
     math; Pallas backward kernels are the planned next stage)."""
 
-    def widen_all(w1, b1, w2, b2, w3, b3):
-        w1b, _ = widen_width_kernel(w1, f_in, f_in, 1)
-        w2b, _ = widen_width_kernel(w2, f_in, f_in, 1)
-        w3b, _ = widen_width_kernel(w3, f_in, f_out, sw)
+    n1 = n2 = f_in + 2           # conv1/conv2: f_out=f_in, sw=1, kw=3
+    n3 = (f_out - 1) * sw + 3    # conv3
+
+    def _flat(k2):
+        # patch_kernel [kh, 1, n*ci, Cout] -> [kh*n*ci, Cout], dh-major
+        return jnp.concatenate([k2[dh, 0] for dh in range(k2.shape[0])], axis=0)
+
+    def prep_all(w1, b1, w2, b2, w3, b3):
+        w1f = _flat(patch_kernel(w1, f_in, 1, n1))
+        w2f = _flat(patch_kernel(w2, f_in, 1, n2))
+        w3f = _flat(patch_kernel(w3, f_out, sw, n3))
         b1t = jnp.tile(b1, f_in)[None, :]
         b2t = jnp.tile(b2, f_in)[None, :]
         b3t = jnp.tile(b3, f_out)[None, :]
-        return w1b, b1t, w2b, b2t, w3b, b3t
+        return w1f, b1t, w2f, b2t, w3f, b3t
 
     def run_fwd(x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem):
-        w1b, b1t, w2b, b2t, w3b, b3t = widen_all(w1, b1, w2, b2, w3, b3)
+        w1f, b1t, w2f, b2t, w3f, b3t = prep_all(w1, b1, w2, b2, w3, b3)
+        ci, co = w1.shape[2], w1.shape[3]
         dt = jnp.promote_types(x.dtype, w1.dtype)
         scal_i = jnp.stack([pos, use_elem, jnp.asarray(t, jnp.int32)]).astype(jnp.int32)
         # the elem-dropout scale must carry full precision in f64 tests
         scal_f = jnp.asarray([inv_e], jnp.promote_types(x.dtype, jnp.float32))
         return _fwd_impl(
-            x.astype(dt), w1b.astype(dt), b1t.astype(dt), w2b.astype(dt),
-            b2t.astype(dt), w3b.astype(dt), b3t.astype(dt), bits,
+            x.astype(dt), w1f.astype(dt), b1t.astype(dt), w2f.astype(dt),
+            b2t.astype(dt), w3f.astype(dt), b3t.astype(dt), bits,
             f_chan, scal_i, scal_f,
             f_in=f_in, f_out=f_out, sh=sh, eps=eps, has_drop=has_drop,
-            th=th, tho=tho, interpret=interpret,
+            th=th, tho=tho, ci=ci, co=co, n1=n1, n2=n2, n3=n3,
+            interpret=interpret,
         )
 
     def ref(x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem):
