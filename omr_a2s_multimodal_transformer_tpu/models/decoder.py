@@ -144,14 +144,15 @@ class DecoderLayer(nn.Module):
                 )
             else:
                 seed = jnp.int32(0)
-            # block_k=1024 amortizes per-block overhead against wide memories
-            # (measured ~20% faster than 512 at 12.7k keys on v5e; larger
-            # blocks exceed the 16 MB scoped-VMEM limit). _auto shard_maps
-            # over an ambient mesh (dp batch + tp head sharding); interpret
-            # mode makes the path runnable on CPU (tests, multichip dryrun).
+            # bq=128/bk=2048 won the v5e block sweep at flagship shapes
+            # (tools/sweep_flash_blocks.py: 8.2 ms fwd+bwd vs 8.7 at
+            # 256/1024, 10.0 at 128/512; bk>=3072 regresses / fails the
+            # scoped-VMEM budget). _auto shard_maps over an ambient mesh
+            # (dp batch + tp head sharding); interpret mode makes the path
+            # runnable on CPU (tests, multichip dryrun).
             flash = flash_packed.flash_attention_packed_auto(
                 n_heads=self.n_heads, dh=self.d_model // self.n_heads,
-                batch=qp.shape[0], dropout_rate=rate, block_q=256, block_k=1024,
+                batch=qp.shape[0], dropout_rate=rate, block_q=128, block_k=2048,
                 interpret=jax.default_backend() == "cpu",
                 mesh=self.mesh,
             )

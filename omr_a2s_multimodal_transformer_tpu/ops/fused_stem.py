@@ -21,21 +21,50 @@ in VMEM —
 
 Forward HBM traffic drops from ~7 to ~3 tensor round trips per block.
 
+MEASURED OUTCOME (v5e, b8 flagship shapes, tools/bench_fused_block.py):
+the fused kernel compiles and is numerically exact, but LOSES to the XLA
+packed_conv path — fwd 0.78x/0.78x/0.85x (block0/1/2), fwd+bwd worse
+(recompute-style custom-vjp backward). Root cause: the stem blocks are
+not traffic-bound at the per-block level — XLA's widened conv already
+runs at ~68% MFU of the (f x inflated) widened FLOP count, i.e. the
+blocks sit near the MXU roof for the FLOPs they execute, and this
+kernel's in-VMEM widened dots (kh*kw' small-K dot_generals + lag-one
+carry shuffles) pipeline worse than XLA's conv. The FLOP-minimal
+'patched' in-kernel gather that would beat both is Mosaic-blocked (lane-
+offset concatenate). The fused block therefore stays OFF the production
+path; it is kept as a tested, compiling alternative and as the measured
+evidence that closes the "stem megakernel" question from STATUS r3.
+
+In-VMEM conv strategy (static ``conv_impl``):
+
+  'widened' (default) — zero-widened kernels (packed_conv.py 'widened'
+      layout): kh x kw' dots of [rows*Wp, Cin] @ [Cin, Cout]. Executes
+      ~f_in x the original MACs (the widened kernel is block-sparse and
+      the MXU multiplies the zeros), which is fine on a bandwidth-bound
+      step — and it lowers cleanly through Mosaic.
+  'patched' — in-VMEM patched im2col (the FLOP-minimal 'patched' layout,
+      patch tensor built in registers): ~n_cols/kw x original MACs at one
+      big [rows*Wp, kh*n_cols*ci] @ [kh*n_cols*ci, Cout] dot per conv.
+      Currently interpret/CPU-only: the lane-offset gather concatenate is
+      rejected by Mosaic on TPU ("unsupported tpu.concatenate layout",
+      jax 0.8.x) — kept as the tested FLOP-minimal variant for when the
+      relayout lands or for MXU-bound geometries elsewhere.
+
 Equivalence: parameters are the reference-shaped [kh, kw, ci, co] kernels;
-widening to packed space (ops/packed_conv.py::widen_width_kernel) happens
-outside the kernel so checkpoints/imports are untouched and weight
-gradients flow through the (static) scatter. The dropout semantics are the
-exact ``MixDropout.site_factors`` draw (models/encoder.py): callers pass
-the RAW u8 bits tensor + (pos, use_elem, channel-factor) drawn with the
-same PRNG splits, so fused and unfused paths produce identical masks from
-identical keys. ``reference_block`` below is the jnp mirror used for the
-custom-vjp backward (recompute style) and for f64 equivalence tests.
+widening/patching (ops/packed_conv.py) happens outside the kernel so
+checkpoints/imports are untouched and weight gradients flow through the
+(static) scatter. The dropout semantics are the exact
+``MixDropout.site_factors`` draw (models/encoder.py): callers pass the RAW
+u8 bits tensor + (pos, use_elem, channel-factor) drawn with the same PRNG
+splits, so fused and unfused paths produce identical masks from identical
+keys. ``reference_block`` below is the jnp mirror used for the custom-vjp
+backward (recompute style) and for f64 equivalence tests.
 
 Geometry: requires packed-space width stride 1 (f_out*sw == f_in), which
 holds on the whole stem ladder f: 8 -> 4 -> 2 -> 1 (see packed_conv.py);
-height stride sh in {1, 2}. Height halos are fetched by per-row async
-copies from HBM (clamped + zero-filled at edges), so ragged tiles and
-image borders reproduce the original conv's zero padding exactly.
+height stride sh in {1, 2}. Height halos ride a lag-one carry in VMEM
+scratch, so ragged tiles and image borders reproduce the original conv's
+zero padding exactly.
 
 Reference behavior being reproduced: ConvBlock of
 ``/root/reference/src/transformer/encoder.py:107-181`` (3x conv + relu,
@@ -53,7 +82,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from omr_a2s_multimodal_transformer_tpu.ops.packed_conv import patch_kernel
+from omr_a2s_multimodal_transformer_tpu.ops.packed_conv import (
+    patch_kernel,
+    widen_width_kernel,
+)
 
 __all__ = ["fused_packed_block", "reference_block", "make_drop_ctx"]
 
@@ -177,16 +209,6 @@ def _pad_w(v, left, right):
     return jnp.pad(v, ((0, 0), (left, right), (0, 0)))
 
 
-# Convs run as in-VMEM patched im2col (the FLOP-minimal 'patched' layout of
-# ops/packed_conv.py, but with the patch tensor built in registers instead
-# of HBM): gather the n_cols = (f_out-1)*sw + kw original columns each
-# packed cell's outputs read (lane slices of the left/right neighbor cells),
-# stack the kh row-shifts on the lane axis, and hit the MXU with ONE
-# [rows*Wp, kh*n_cols*ci] @ [kh*n_cols*ci, f_out*co] dot per conv —
-# n_cols/kw x the original FLOPs (vs ~f_in x for zero-widened kernels) at
-# K >= 96 contraction depth.
-
-
 def _patch_cols(v, f_in, ci, n_cols):
     """v [rows, Wp+2, f_in*ci] (one halo cell each side) ->
     [rows, Wp, n_cols*ci]: original columns [P*f_in - 1, P*f_in - 1 + n_cols)
@@ -222,11 +244,39 @@ def _conv_patched(patch, wflat, rows_out, wp, acc_dtype, sh=1):
     return acc.reshape(rows_out, wp, wflat.shape[-1])
 
 
+def _conv_widened(v, w_ref, rows_out, wp, acc_dtype, sh=1):
+    """v [rows_in, Wp + kw' - 1, Cin] -> [rows_out, Wp, Cout] via kh*kw'
+    dots against the zero-widened kernel w_ref [kh, kw', Cin, Cout].
+    sh=2 uses the even/odd pair view to avoid strided sublane reads."""
+    kh, kw = w_ref.shape[0], w_ref.shape[1]
+    cin, cout = v.shape[-1], w_ref.shape[-1]
+    dn = (((1,), (0,)), ((), ()))
+    acc = jnp.zeros((rows_out * wp, cout), acc_dtype)
+    if sh == 1:
+        for dh in range(kh):
+            for dj in range(kw):
+                sl = v[dh:dh + rows_out, dj:dj + wp].reshape(rows_out * wp, cin)
+                acc = acc + jax.lax.dot_general(
+                    sl, w_ref[dh, dj], dn, preferred_element_type=acc_dtype)
+    else:  # sh == 2
+        ra = v.shape[0]
+        xp = v.reshape(ra // 2, 2, v.shape[1], cin)
+        for dh in range(kh):
+            q, par = divmod(dh, 2)
+            sl_rows = xp[q:q + rows_out, par]  # rows r*2 + dh
+            for dj in range(kw):
+                sl = sl_rows[:, dj:dj + wp].reshape(rows_out * wp, cin)
+                acc = acc + jax.lax.dot_general(
+                    sl, w_ref[dh, dj], dn, preferred_element_type=acc_dtype)
+    return acc.reshape(rows_out, wp, cout)
+
+
 def _k1_kernel(
     scal_i, scal_f, x_ref, bits_ref, fchan_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y2_ref, stats_ref,
     cbx, cbb,
-    *, H, Wp, th, nth, ci, C, co, f, n1, n2, has_drop, acc_dtype,
+    *, H, Wp, th, nth, ci, C, co, f, n1, n2, pad1, pad2, conv_impl,
+    has_drop, acc_dtype,
 ):
     i = pl.program_id(1)
     out_dtype = y2_ref.dtype
@@ -252,7 +302,7 @@ def _k1_kernel(
         # At i == nth the "next block" is a clamped revisit of block nth-1;
         # its head rows alias rows >= H and are zeroed by the valid masks.
         xv = jnp.concatenate([cbx[...], x_ref[0, 0:2]], axis=0)
-        xv = _pad_w(xv, 1, 1)  # one halo CELL each side (patched gather)
+        xv = _pad_w(xv, *pad1)
         rowsx = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0) + row0
         xv = jnp.where((rowsx >= 0) & (rowsx < H), xv, 0)
         if has_drop:
@@ -262,7 +312,7 @@ def _k1_kernel(
         _k1_compute(
             xv, bsv, scal_i, scal_f, fchan_ref, w1_ref, b1_ref, w2_ref,
             b2_ref, y2_ref, stats_ref, i=i, j=j, H=H, Wp=Wp, th=th, ci=ci,
-            C=C, co=co, f=f, n1=n1, n2=n2,
+            C=C, co=co, f=f, n1=n1, n2=n2, pad2=pad2, conv_impl=conv_impl,
             has_drop=has_drop, acc_dtype=acc_dtype, out_dtype=out_dtype,
         )
 
@@ -276,12 +326,15 @@ def _k1_kernel(
 def _k1_compute(
     xv, bsv, scal_i, scal_f, fchan_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y2_ref, stats_ref,
-    *, i, j, H, Wp, th, ci, C, co, f, n1, n2, has_drop,
+    *, i, j, H, Wp, th, ci, C, co, f, n1, n2, pad2, conv_impl, has_drop,
     acc_dtype, out_dtype,
 ):
     # ---- conv1 + bias + relu + site-1 dropout -> h1 rows [j*th-1, j*th+th+1)
-    patch1 = _patch_cols(xv, f, ci, n1)
-    z1 = _conv_patched(patch1, w1_ref[...], th + 2, Wp, acc_dtype)
+    if conv_impl == "patched":
+        patch1 = _patch_cols(xv, f, ci, n1)
+        z1 = _conv_patched(patch1, w1_ref[...], th + 2, Wp, acc_dtype)
+    else:
+        z1 = _conv_widened(xv, w1_ref, th + 2, Wp, acc_dtype)
     z1 = z1 + b1_ref[0].astype(acc_dtype)
     h1 = jnp.maximum(z1, 0)
     rows1 = jax.lax.broadcasted_iota(jnp.int32, (th + 2, Wp, 1), 0) + (j * th - 1)
@@ -293,11 +346,14 @@ def _k1_compute(
         one = jnp.ones((), acc_dtype)
         h1 = h1 * jnp.where(scal_i[0] == 1, base, one)
     h1 = jnp.where(valid1, h1, 0)
-    hv = _pad_w(h1.astype(out_dtype), 1, 1)
+    hv = _pad_w(h1.astype(out_dtype), *pad2)
 
     # ---- conv2 + bias + relu + site-2 dropout -> y2 rows [j*th, j*th+th)
-    patch2 = _patch_cols(hv, f, co, n2)
-    z2 = _conv_patched(patch2, w2_ref[...], th, Wp, acc_dtype)
+    if conv_impl == "patched":
+        patch2 = _patch_cols(hv, f, co, n2)
+        z2 = _conv_patched(patch2, w2_ref[...], th, Wp, acc_dtype)
+    else:
+        z2 = _conv_widened(hv, w2_ref, th, Wp, acc_dtype)
     z2 = z2 + b2_ref[0].astype(acc_dtype)
     y2 = jnp.maximum(z2, 0)
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (th, Wp, 1), 0) + j * th
@@ -343,7 +399,8 @@ def _k2_kernel(
     scal_i, scal_f, y2_ref, bits3_ref, fchan_ref, mi_ref, w3_ref, b3_ref,
     out_ref,
     cby,
-    *, H, H3, Wp, th, tho, C, C3, sh, n3, f, co, has_drop, acc_dtype,
+    *, H, H3, Wp, th, tho, C, C3, sh, n3, f, co, pad3, conv_impl,
+    has_drop, acc_dtype,
 ):
     i = pl.program_id(1)
     out_dtype = out_ref.dtype
@@ -365,7 +422,7 @@ def _k2_kernel(
         inv = mi_ref[0, 1].astype(acc_dtype)
         # assembled y2 rows [j*th-1, j*th+th+1)
         ysv = jnp.concatenate([cby[...], y2_ref[0, 0:1]], axis=0)
-        ysv = _pad_w(ysv, 1, 1)  # one halo CELL each side
+        ysv = _pad_w(ysv, *pad3)
         rows_alloc = th + 2
         yv = ysv.astype(acc_dtype)
         rows = jax.lax.broadcasted_iota(jnp.int32, (rows_alloc, 1, 1), 0) + row0
@@ -373,15 +430,16 @@ def _k2_kernel(
         xh = (yv - mean[None, None, :]) * inv[None, None, :]
         # width borders are zero in ysv; keep them zero through the normalize
         # (conv3's zero pad is POST-norm in the reference)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, Wp + 2, 1), 1)
-        colmask = ((cols >= 1) & (cols < 1 + Wp)).astype(acc_dtype)
+        wpad = Wp + pad3[0] + pad3[1]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, wpad, 1), 1)
+        colmask = ((cols >= pad3[0]) & (cols < pad3[0] + Wp)).astype(acc_dtype)
         xh = xh * colmask
         xh = jnp.where(validr, xh, 0).astype(ysv.dtype)
         _k2_compute(
             xh, scal_i, scal_f, bits3_ref, fchan_ref, w3_ref, b3_ref, out_ref,
             rows_alloc=rows_alloc, Wp=Wp, th=th, tho=tho, C=C, C3=C3, sh=sh,
-            n3=n3, f=f, co=co, has_drop=has_drop, acc_dtype=acc_dtype,
-            out_dtype=out_dtype,
+            n3=n3, f=f, co=co, conv_impl=conv_impl, has_drop=has_drop,
+            acc_dtype=acc_dtype, out_dtype=out_dtype,
         )
 
     cby[...] = jnp.concatenate([cby[th:th + 1], y2_ref[0]], axis=0)
@@ -389,11 +447,14 @@ def _k2_kernel(
 
 def _k2_compute(
     xh, scal_i, scal_f, bits3_ref, fchan_ref, w3_ref, b3_ref, out_ref,
-    *, rows_alloc, Wp, th, tho, C, C3, sh, n3, f, co, has_drop, acc_dtype,
-    out_dtype,
+    *, rows_alloc, Wp, th, tho, C, C3, sh, n3, f, co, conv_impl, has_drop,
+    acc_dtype, out_dtype,
 ):
-    patch3 = _patch_cols(xh, f, co, n3)
-    z3 = _conv_patched(patch3, w3_ref[...], tho, Wp, acc_dtype, sh=sh)
+    if conv_impl == "patched":
+        patch3 = _patch_cols(xh, f, co, n3)
+        z3 = _conv_patched(patch3, w3_ref[...], tho, Wp, acc_dtype, sh=sh)
+    else:
+        z3 = _conv_widened(xh, w3_ref, tho, Wp, acc_dtype, sh=sh)
     z3 = z3 + b3_ref[0].astype(acc_dtype)
     y3 = jnp.maximum(z3, 0)
     if has_drop:
@@ -408,9 +469,16 @@ def _k2_compute(
 # ------------------------------------------------------------------ driver
 
 
-def _fwd_impl(x, w1f, b1t, w2f, b2t, w3f, b3t, bits, f_chan, scal_i, scal_f,
+def _wk_leftpad(kw: int, f_in: int, f_out: int, sw: int) -> int:
+    """-dmin of widen_width_kernel for this geometry (static)."""
+    pw = kw // 2
+    offs = [(q * sw + kx - pw) // f_in for q in range(f_out) for kx in range(kw)]
+    return -min(offs)
+
+
+def _fwd_impl(x, w1p, b1t, w2p, b2t, w3p, b3t, bits, f_chan, scal_i, scal_f,
               *, f_in, f_out, sh, eps, has_drop, th, tho, ci, co, n1, n2, n3,
-              interpret):
+              pad1, pad2, pad3, conv_impl, interpret):
     B, H, Wp, cin = x.shape
     C = f_in * co
     C3 = f_out * co
@@ -420,6 +488,10 @@ def _fwd_impl(x, w1f, b1t, w2f, b2t, w3f, b3t, bits, f_chan, scal_i, scal_f,
 
     nth = _cdiv(H, th)
     lastb = nth - 1
+
+    def _wspec(w):
+        nd = w.ndim
+        return pl.BlockSpec(w.shape, lambda b, i, *_: (0,) * nd)
 
     if has_drop:
         bits_spec = pl.BlockSpec(
@@ -435,7 +507,7 @@ def _fwd_impl(x, w1f, b1t, w2f, b2t, w3f, b3t, bits, f_chan, scal_i, scal_f,
     y2, stats = pl.pallas_call(
         functools.partial(
             _k1_kernel, H=H, Wp=Wp, th=th, nth=nth, ci=ci, C=C, co=co,
-            f=f_in, n1=n1, n2=n2,
+            f=f_in, n1=n1, n2=n2, pad1=pad1, pad2=pad2, conv_impl=conv_impl,
             has_drop=has_drop, acc_dtype=acc_dtype,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -446,9 +518,9 @@ def _fwd_impl(x, w1f, b1t, w2f, b2t, w3f, b3t, bits, f_chan, scal_i, scal_f,
                              lambda b, i, *_: (b, jnp.minimum(i, lastb), 0, 0)),
                 bits_spec,
                 pl.BlockSpec((1, 1, C), lambda b, i, *_: (b, 0, 0)),    # f_chan
-                pl.BlockSpec(w1f.shape, lambda b, i, *_: (0, 0)),       # w1f
+                _wspec(w1p),                                            # w1
                 pl.BlockSpec((1, C), lambda b, i, *_: (0, 0)),          # b1t
-                pl.BlockSpec(w2f.shape, lambda b, i, *_: (0, 0)),       # w2f
+                _wspec(w2p),                                            # w2
                 pl.BlockSpec((1, C), lambda b, i, *_: (0, 0)),          # b2t
             ],
             out_specs=[
@@ -468,7 +540,7 @@ def _fwd_impl(x, w1f, b1t, w2f, b2t, w3f, b3t, bits, f_chan, scal_i, scal_f,
             # is what binds the tile height. 64 MiB leaves headroom for XLA.
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(scal_i, scal_f, x, bits, f_chan[:, None, :], w1f, b1t, w2f, b2t)
+    )(scal_i, scal_f, x, bits, f_chan[:, None, :], w1p, b1t, w2p, b2t)
 
     n = H * Wp * f_in
     mean = stats[:, 0] / n                       # [B, co]
@@ -495,8 +567,8 @@ def _fwd_impl(x, w1f, b1t, w2f, b2t, w3f, b3t, bits, f_chan, scal_i, scal_f,
     out = pl.pallas_call(
         functools.partial(
             _k2_kernel, H=H, H3=H3, Wp=Wp, th=th2, tho=tho, C=C, C3=C3,
-            sh=sh, n3=n3, f=f_in, co=co, has_drop=has_drop,
-            acc_dtype=acc_dtype,
+            sh=sh, n3=n3, f=f_in, co=co, pad3=pad3, conv_impl=conv_impl,
+            has_drop=has_drop, acc_dtype=acc_dtype,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -507,7 +579,7 @@ def _fwd_impl(x, w1f, b1t, w2f, b2t, w3f, b3t, bits, f_chan, scal_i, scal_f,
                 bits3_spec,                             # bits corner (site 3)
                 pl.BlockSpec((1, 1, C), lambda b, i, *_: (b, 0, 0)),  # f_chan
                 pl.BlockSpec((1, 2, C), lambda b, i, *_: (b, 0, 0)),  # mean/inv
-                pl.BlockSpec(w3f.shape, lambda b, i, *_: (0, 0)),
+                _wspec(w3p),
                 pl.BlockSpec((1, C3), lambda b, i, *_: (0, 0)),
             ],
             out_specs=pl.BlockSpec(
@@ -523,14 +595,14 @@ def _fwd_impl(x, w1f, b1t, w2f, b2t, w3f, b3t, bits, f_chan, scal_i, scal_f,
             # is what binds the tile height. 64 MiB leaves headroom for XLA.
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(scal_i, scal_f, y2, bits3, f_chan[:, None, :], mi, w3f, b3t)
+    )(scal_i, scal_f, y2, bits3, f_chan[:, None, :], mi, w3p, b3t)
     return out
 
 
 @functools.lru_cache(maxsize=32)
 def _make_fused(f_in: int, f_out: int, sh: int, sw: int, eps: float,
                 has_drop: bool, t: int, inv_e: float,
-                th: int, tho: int, interpret: bool):
+                th: int, tho: int, conv_impl: str, interpret: bool):
     """One custom_vjp per static config. Differentiable in (x, w1..b3);
     backward is the recompute-style vjp of ``reference_block`` (exact same
     math; Pallas backward kernels are the planned next stage)."""
@@ -542,28 +614,57 @@ def _make_fused(f_in: int, f_out: int, sh: int, sw: int, eps: float,
         # patch_kernel [kh, 1, n*ci, Cout] -> [kh*n*ci, Cout], dh-major
         return jnp.concatenate([k2[dh, 0] for dh in range(k2.shape[0])], axis=0)
 
-    def prep_all(w1, b1, w2, b2, w3, b3):
-        w1f = _flat(patch_kernel(w1, f_in, 1, n1))
-        w2f = _flat(patch_kernel(w2, f_in, 1, n2))
-        w3f = _flat(patch_kernel(w3, f_out, sw, n3))
-        b1t = jnp.tile(b1, f_in)[None, :]
-        b2t = jnp.tile(b2, f_in)[None, :]
-        b3t = jnp.tile(b3, f_out)[None, :]
-        return w1f, b1t, w2f, b2t, w3f, b3t
+    if conv_impl == "patched":
+        # one halo CELL each side for the in-register gather
+        pad1 = pad2 = pad3 = (1, 1)
+
+        def prep_all(w1, b1, w2, b2, w3, b3):
+            w1p = _flat(patch_kernel(w1, f_in, 1, n1))
+            w2p = _flat(patch_kernel(w2, f_in, 1, n2))
+            w3p = _flat(patch_kernel(w3, f_out, sw, n3))
+            b1t = jnp.tile(b1, f_in)[None, :]
+            b2t = jnp.tile(b2, f_in)[None, :]
+            b3t = jnp.tile(b3, f_out)[None, :]
+            return w1p, b1t, w2p, b2t, w3p, b3t
+    else:
+        # widened-kernel left pads (packed_conv: pl = -dmin); the widened
+        # kernel width kw' is whatever widen_width_kernel produces.
+        _pl1 = _wk_leftpad(3, f_in, f_in, 1)
+        _pl2 = _wk_leftpad(3, f_in, f_in, 1)
+        _pl3 = _wk_leftpad(3, f_in, f_out, sw)
+
+        def prep_all(w1, b1, w2, b2, w3, b3):
+            w1p, _ = widen_width_kernel(w1, f_in, f_in, 1)
+            w2p, _ = widen_width_kernel(w2, f_in, f_in, 1)
+            w3p, _ = widen_width_kernel(w3, f_in, f_out, sw)
+            b1t = jnp.tile(b1, f_in)[None, :]
+            b2t = jnp.tile(b2, f_in)[None, :]
+            b3t = jnp.tile(b3, f_out)[None, :]
+            return w1p, b1t, w2p, b2t, w3p, b3t
+
+        # pads are completed to (l, kw'-1-l) lazily once kw' is known
+        pad1, pad2, pad3 = _pl1, _pl2, _pl3
 
     def run_fwd(x, w1, b1, w2, b2, w3, b3, bits, f_chan, pos, use_elem):
-        w1f, b1t, w2f, b2t, w3f, b3t = prep_all(w1, b1, w2, b2, w3, b3)
+        w1p, b1t, w2p, b2t, w3p, b3t = prep_all(w1, b1, w2, b2, w3, b3)
         ci, co = w1.shape[2], w1.shape[3]
         dt = jnp.promote_types(x.dtype, w1.dtype)
+        if conv_impl == "patched":
+            p1, p2, p3 = pad1, pad2, pad3
+        else:
+            p1 = (pad1, w1p.shape[1] - 1 - pad1)
+            p2 = (pad2, w2p.shape[1] - 1 - pad2)
+            p3 = (pad3, w3p.shape[1] - 1 - pad3)
         scal_i = jnp.stack([pos, use_elem, jnp.asarray(t, jnp.int32)]).astype(jnp.int32)
         # the elem-dropout scale must carry full precision in f64 tests
         scal_f = jnp.asarray([inv_e], jnp.promote_types(x.dtype, jnp.float32))
         return _fwd_impl(
-            x.astype(dt), w1f.astype(dt), b1t.astype(dt), w2f.astype(dt),
-            b2t.astype(dt), w3f.astype(dt), b3t.astype(dt), bits,
+            x.astype(dt), w1p.astype(dt), b1t.astype(dt), w2p.astype(dt),
+            b2t.astype(dt), w3p.astype(dt), b3t.astype(dt), bits,
             f_chan, scal_i, scal_f,
             f_in=f_in, f_out=f_out, sh=sh, eps=eps, has_drop=has_drop,
             th=th, tho=tho, ci=ci, co=co, n1=n1, n2=n2, n3=n3,
+            pad1=p1, pad2=p2, pad3=p3, conv_impl=conv_impl,
             interpret=interpret,
         )
 
@@ -609,13 +710,16 @@ def fused_packed_block(
     drop: Optional[Dict] = None,
     eps: float = 1e-3,
     tile_h: Optional[int] = None,
+    conv_impl: Optional[str] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused packed ConvBlock forward (see module docstring).
 
     x: [B, H, Wp, f_in*ci]; w1 [kh,kw,ci,co], w2/w3 [kh,kw,co,co] in
     reference shapes; returns [B, ceil(H/sh), Wp, f_out*co]. ``drop``
-    from ``make_drop_ctx`` (None = deterministic).
+    from ``make_drop_ctx`` (None = deterministic). ``conv_impl``:
+    'widened' (default; TPU-lowerable) or 'patched' (FLOP-minimal;
+    interpret/CPU-only today — see module docstring).
     """
     sh, sw = stride
     if f_out * sw != f_in:
@@ -627,6 +731,10 @@ def fused_packed_block(
         raise ValueError(f"height stride must be 1 or 2, got {sh}")
     if interpret is None:
         interpret = _default_interpret()
+    if conv_impl is None:
+        conv_impl = "widened"
+    if conv_impl not in ("widened", "patched"):
+        raise ValueError(f"conv_impl must be 'widened' or 'patched', got {conv_impl!r}")
     # Tile height from the VMEM budget: the f32 accumulator [(th+2)*Wp, C]
     # dominates; keep it ~<=4 MB so scratch + double-buffered outs fit in 16.
     Wp_ = x.shape[2]
@@ -638,7 +746,7 @@ def fused_packed_block(
         f_in, f_out, sh, sw, float(eps), has_drop,
         int(drop["t"]) if has_drop else 255,
         float(drop["inv_e"]) if has_drop else 1.0,
-        int(th), int(tho), bool(interpret),
+        int(th), int(tho), str(conv_impl), bool(interpret),
     )
     B, _, Wp, _ = x.shape
     C = f_in * w1.shape[-1]

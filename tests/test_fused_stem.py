@@ -46,25 +46,27 @@ def _mk(geom, p, seed=0):
     return (x, w1, b1, w2, b2, w3, b3), kw
 
 
+@pytest.mark.parametrize("impl", ["widened", "patched"])
 @pytest.mark.parametrize("name", list(GEOMS))
 @pytest.mark.parametrize("p", [None, 0.4])
-def test_fused_block_fwd_equivalence_f64(name, p):
+def test_fused_block_fwd_equivalence_f64(name, p, impl):
     args, kw = _mk(GEOMS[name], p)
-    out_f = fused_packed_block(*args, tile_h=5, **kw)
+    out_f = fused_packed_block(*args, tile_h=5, conv_impl=impl, **kw)
     out_r = reference_block(*args, **kw)
     assert out_f.shape == out_r.shape
     scale = float(jnp.max(jnp.abs(out_r))) + 1e-12
     err = float(jnp.max(jnp.abs(out_f - out_r)))
-    assert err / scale < 1e-12, (name, p, err, scale)
+    assert err / scale < 1e-12, (name, p, impl, err, scale)
 
 
+@pytest.mark.parametrize("impl", ["widened", "patched"])
 @pytest.mark.parametrize("name", list(GEOMS))
 @pytest.mark.parametrize("p", [None, 0.4])
-def test_fused_block_grads_equivalence_f64(name, p):
+def test_fused_block_grads_equivalence_f64(name, p, impl):
     args, kw = _mk(GEOMS[name], p)
 
     def loss_f(*a):
-        return jnp.sum(jnp.sin(fused_packed_block(*a, tile_h=5, **kw)))
+        return jnp.sum(jnp.sin(fused_packed_block(*a, tile_h=5, conv_impl=impl, **kw)))
 
     def loss_r(*a):
         return jnp.sum(jnp.sin(reference_block(*a, **kw)))

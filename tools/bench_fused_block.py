@@ -36,6 +36,8 @@ def main():
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--blocks", nargs="+", default=list(BLOCKS))
     p.add_argument("--tile_h", type=int, default=None)
+    p.add_argument("--conv_impl", default="widened", choices=["widened", "patched"])
+    p.add_argument("--fwd_only", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -107,6 +109,7 @@ def main():
 
         def fwd_f_fn(a, d):
             return fused_packed_block(*a, drop=to_ctx(d), tile_h=args.tile_h,
+                                      conv_impl=args.conv_impl,
                                       interpret=False, **kw)
 
         fwd_x = jax.jit(fwd_x_fn)
@@ -126,6 +129,10 @@ def main():
         err = float(jnp.max(jnp.abs(of.astype(jnp.float32) - ox.astype(jnp.float32))))
         t_fx = timeit(fwd_x, *a7)
         t_ff = timeit(fwd_f, *a7)
+        if args.fwd_only:
+            print(f"{name}: fwd xla {t_fx:7.2f} ms | fused {t_ff:7.2f} ms "
+                  f"({t_fx/t_ff:4.2f}x) | bf16 max|d| {err:.2e}")
+            continue
         t_gx = timeit(g_x, *a7)
         t_gf = timeit(g_f, *a7)
         print(f"{name}: fwd xla {t_fx:7.2f} ms | fused {t_ff:7.2f} ms ({t_fx/t_ff:4.2f}x)"
