@@ -77,10 +77,30 @@ def restructure(root: str = GRANDSTAFF_PATH) -> None:
         os.rename(dst, src)
 
 
-def synthesize_audio(root: str = GRANDSTAFF_PATH, sample_rate: int = 22050) -> Dict[str, List[str]]:
-    """kern -> MIDI (music21) -> WAV (FluidSynth). Failed parses are logged
-    and the sample's files removed across all modalities, keeping the
-    corpus consistent (reference prepare_dataset.py:100-162)."""
+def synthesize_audio(
+    root: str = GRANDSTAFF_PATH, sample_rate: int = 22050, engine: str = "auto"
+) -> Dict[str, List[str]]:
+    """kern -> WAV. Failed parses are logged and the sample's files removed
+    across all modalities, keeping the corpus consistent (reference
+    prepare_dataset.py:100-162).
+
+    engine: 'fluidsynth' (reference pipeline: music21 MIDI + FluidSynth +
+    SoundFont), 'native' (dependency-free additive synthesis, data/synth.py),
+    or 'auto' (fluidsynth when importable, else native). Both engines share
+    the error-logging + sibling-deletion semantics."""
+    if engine not in ("auto", "fluidsynth", "native"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "auto":
+        try:
+            import midi2audio  # noqa: F401
+            import music21  # noqa: F401
+
+            engine = "fluidsynth"
+        except ImportError:
+            engine = "native"
+    if engine == "native":
+        return _synthesize_audio_native(root, sample_rate)
+
     from midi2audio import FluidSynth
     from music21 import converter
 
@@ -110,6 +130,50 @@ def synthesize_audio(root: str = GRANDSTAFF_PATH, sample_rate: int = 22050) -> D
             stream.write("midi", fp=midi_path)
             fs.midi_to_audio(midi_path, os.path.join(cpath, "wav", krn_file.replace(".krn", ".wav")))
             os.remove(midi_path)
+        if errors:
+            all_errors[composer] = errors
+            with open(os.path.join(root, "errors", f"{composer}.txt"), "w") as f:
+                f.write("\n".join(errors))
+    return all_errors
+
+
+def _remove_siblings(cpath: str, krn_file: str) -> None:
+    """Drop every modality of a sample whose kern failed to synthesize
+    (reference prepare_dataset.py error path)."""
+    for sub, suffix in (
+        ("krn", ".krn"), ("img", ".jpg"),
+        ("img_distorted", "_distorted.jpg"), ("bekrn", ".bekrn"),
+    ):
+        p = os.path.join(cpath, sub, krn_file.replace(".krn", suffix))
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def _synthesize_audio_native(root: str, sample_rate: int) -> Dict[str, List[str]]:
+    """Dependency-free engine: kern -> timed notes -> additive rendering ->
+    16-bit WAV (data/synth.py). Same tree walk / error semantics as the
+    fluidsynth engine."""
+    from omr_a2s_multimodal_transformer_tpu.data.synth import render_kern_to_wav
+
+    os.makedirs(os.path.join(root, "errors"), exist_ok=True)
+    all_errors: Dict[str, List[str]] = {}
+    for composer in sorted(os.listdir(root)):
+        cpath = os.path.join(root, composer)
+        if not os.path.isdir(cpath) or composer in _NON_COMPOSER_DIRS or composer.startswith("."):
+            continue
+        errors = []
+        for krn_file in sorted(os.listdir(os.path.join(cpath, "krn"))):
+            krn_path = os.path.join(cpath, "krn", krn_file)
+            try:
+                os.makedirs(os.path.join(cpath, "wav"), exist_ok=True)
+                render_kern_to_wav(
+                    krn_path,
+                    os.path.join(cpath, "wav", krn_file.replace(".krn", ".wav")),
+                    sample_rate=sample_rate,
+                )
+            except Exception as err:
+                errors.append(f"{krn_file}\t{type(err)}\t{err}")
+                _remove_siblings(cpath, krn_file)
         if errors:
             all_errors[composer] = errors
             with open(os.path.join(root, "errors", f"{composer}.txt"), "w") as f:

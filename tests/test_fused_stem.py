@@ -17,7 +17,16 @@ from omr_a2s_multimodal_transformer_tpu.ops.fused_stem import (
     reference_block,
 )
 
-jax.config.update("jax_enable_x64", True)
+# x64 must be scoped per-test (not a module-level config.update): pytest
+# imports every test module at COLLECTION time, so a module-level flip
+# would silently run the whole suite under x64 (observed: order-dependent
+# flake in test_cache_dtype_ser's memorization loop).
+
+
+@pytest.fixture(autouse=True)
+def _x64():
+    with jax.enable_x64(True):
+        yield
 
 # (f_in, f_out, stride, ci, co, H, Wp) — the three packed stages of the
 # production stem ladder at f=8 (models/encoder.py CONV_STAGES), tiny H/Wp.
