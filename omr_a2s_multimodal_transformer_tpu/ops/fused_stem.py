@@ -29,11 +29,25 @@ not traffic-bound at the per-block level — XLA's widened conv already
 runs at ~68% MFU of the (f x inflated) widened FLOP count, i.e. the
 blocks sit near the MXU roof for the FLOPs they execute, and this
 kernel's in-VMEM widened dots (kh*kw' small-K dot_generals + lag-one
-carry shuffles) pipeline worse than XLA's conv. The FLOP-minimal
-'patched' in-kernel gather that would beat both is Mosaic-blocked (lane-
-offset concatenate). The fused block therefore stays OFF the production
-path; it is kept as a tested, compiling alternative and as the measured
-evidence that closes the "stem megakernel" question from STATUS r3.
+carry shuffles) pipeline worse than XLA's conv. The fused block therefore
+stays OFF the production path; it is kept as a tested, compiling
+alternative and as the measured evidence that closes the "stem
+megakernel" question from STATUS r3.
+
+WHY the FLOP-minimal 'patched' layout cannot beat 'widened' here (the
+definitive close-out, r3): the MXU quantizes the contracted dimension to
+128-lane weight tiles — a [M,K]@[K,N] dot costs ~M * ceil(K/128) *
+ceil(N/128) tile-rows regardless of K%128. Counting K-tiles per kh tap on
+the production ladder: block0 conv2 (f=8, C=128) widened kw'=2 dots of
+K=128 = 2 tiles vs patched K=n*ci=160 -> ALSO 2 tiles; block1/2 conv2
+(f=4/2) widened kw'=3 vs patched 2 — the only win, ~10% of stem tiles;
+every conv3 is equal. So 'patched' cuts *multiplied zeros*, not MXU time,
+and any gather/materialization overhead makes it a net loss — exactly
+what both experiments measured (XLA patched: 359 vs 293 ms stem fwd+bwd;
+a 3-dot 'split' variant prototyped in-kernel is 3 tiles/tap, never better
+than widened). Mosaic also rejects the patch gather's lane/sublane-offset
+concatenates, but that is moot: the tile math says there is nothing to
+recover. The widened stem sits at its MXU tile-count optimum.
 
 In-VMEM conv strategy (static ``conv_impl``):
 
