@@ -78,6 +78,11 @@ def main():
                    help="stream batches from host every step instead of pinning the corpus "
                         "in HBM (data/device_cache.py; cached is bit-identical and removes "
                         "the dominant per-epoch wall cost behind a remote-TPU link)")
+    p.add_argument("--run_name", default="production",
+                   help="run/weights subdirectory name (separate recipe variants)")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--decay_steps", type=int, default=0)
     p.add_argument("--smoke", action="store_true", help="tiny shapes, CPU-runnable plumbing check")
     args = p.parse_args()
 
@@ -89,6 +94,9 @@ def main():
         "--ds_name", "synthetic",
         "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke),
         "--krn_encoding", "kern",
+        # NOTE: --use_distorted_images is a dataset-variant selector for
+        # HF/directory sources; SyntheticSource has a single clean render,
+        # so it only affects the max-lens cache name here.
         "--use_distorted_images",
         "--cache_root", cache_root,
         "--eval_batch_size", str(args.batch),
@@ -98,6 +106,9 @@ def main():
         "--batch_size", str(args.batch),
         "--teacher_forcing_prob", "0.2",
         "--keep_cache",
+        "--learning_rate", str(args.learning_rate),
+        "--warmup_steps", str(args.warmup_steps),
+        "--decay_steps", str(args.decay_steps),
     ]
     if not args.no_device_cache:
         common.append("--device_cache")
@@ -143,14 +154,14 @@ def main():
     # modality, single max-width bucket, no remat) the flash bwd kernel's
     # fusion exceeds the 16 MB scoped-VMEM ceiling by 148 KB — remat changes
     # the fusion context and fits; numerics-neutral (grad parity 1.5e-11).
-    run("production", args.epochs, ["--use_flash_cross", "--remat"])
+    run(args.run_name, args.epochs, ["--use_flash_cross", "--remat"])
 
     # Trajectory-shape comparison over the control's epochs. Dropout/PRNG
     # streams differ between the two programs (flash draws in-kernel), so
     # equality is statistical, not bitwise: mean |rel diff| of per-epoch
     # losses must be small once past the noisy first epochs.
     ctrl = report.get("control_trajectory") or []
-    prod = report["production_trajectory"]
+    prod = report[args.run_name + "_trajectory"]
     if ctrl:
         n = min(len(ctrl), len(prod))
         rels = []
