@@ -83,7 +83,7 @@ class DeviceCacheLoader:
     def _build(self) -> None:
         ds = self.loader.ds
         n = len(ds)
-        chunk_stacks = []  # list of {key: device array [chunk, ...]}
+        host_chunks = []  # list of {key: HOST array [chunk, ...]}
         with ThreadPoolExecutor(max_workers=max(1, self.loader.num_threads)) as ex:
             for lo in range(0, n, _CHUNK):
                 idx = list(range(lo, min(lo + _CHUNK, n)))
@@ -93,9 +93,14 @@ class DeviceCacheLoader:
                     for k in _CAST_KEYS:
                         if k in batch and batch[k].dtype == np.float32:
                             batch[k] = batch[k].astype(self.cast_dtype)
-                chunk_stacks.append({k: jnp.asarray(v) for k, v in batch.items()})
+                host_chunks.append(batch)
+        # Concatenate on the HOST and ship each key once: device-side chunk
+        # copies + a device concatenate would hold ~2x the corpus in HBM at
+        # the concatenate, OOMing builds that fit at steady state. Host RAM
+        # is the cheap side of this trade.
         self._stacks = {
-            k: jnp.concatenate([c[k] for c in chunk_stacks], axis=0) for k in chunk_stacks[0]
+            k: jnp.asarray(np.concatenate([c.pop(k) for c in host_chunks], axis=0))
+            for k in list(host_chunks[0])
         }
         logger.info(
             "device cache: %d samples, %.1f MB resident (%s)",

@@ -91,11 +91,19 @@ def synthesize_audio(
     if engine not in ("auto", "fluidsynth", "native"):
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "auto":
+        # 'auto' must probe the WHOLE fluidsynth path, not just the Python
+        # imports: a pip-installed midi2audio with no fluidsynth binary or
+        # SoundFont would crash mid-corpus (outside the per-file try) when
+        # the dependency-free native engine was available all along.
         try:
             import midi2audio  # noqa: F401
             import music21  # noqa: F401
 
-            engine = "fluidsynth"
+            engine = (
+                "fluidsynth"
+                if shutil.which("fluidsynth") and os.path.exists(SOUND_FONT)
+                else "native"
+            )
         except ImportError:
             engine = "native"
     if engine == "native":
@@ -118,13 +126,7 @@ def synthesize_audio(
                 stream = converter.parse(krn_path)
             except Exception as err:
                 errors.append(f"{krn_file}\t{type(err)}\t{err}")
-                for sub, suffix in (
-                    ("krn", ".krn"), ("img", ".jpg"),
-                    ("img_distorted", "_distorted.jpg"), ("bekrn", ".bekrn"),
-                ):
-                    p = os.path.join(cpath, sub, krn_file.replace(".krn", suffix))
-                    if os.path.exists(p):
-                        os.remove(p)
+                _remove_siblings(cpath, krn_file)
                 continue
             midi_path = krn_path + ".mid"
             stream.write("midi", fp=midi_path)

@@ -129,7 +129,10 @@ def test_synthesize_audio_success_and_error_paths(tmp_path, monkeypatch):
     _make_corpus(root, "mozart", ["good_original_m-1-4", "bad_original_m-5-8"])
     calls = _mock_synthesis_modules(monkeypatch, fail_pieces=["bad_"])
 
-    errors = synthesize_audio(root=root)
+    # engine pinned: 'auto' additionally probes for the fluidsynth BINARY
+    # and SoundFont (not mockable via module injection) and would fall back
+    # to the native engine in this container
+    errors = synthesize_audio(root=root, engine="fluidsynth")
 
     base = os.path.join(root, "mozart")
     # success path: WAV created, temp MIDI removed
@@ -155,6 +158,25 @@ def test_synthesize_audio_no_errors_no_log(tmp_path, monkeypatch):
     root = str(tmp_path)
     _make_corpus(root, "chopin", ["ok_original_m-1-2"])
     _mock_synthesis_modules(monkeypatch, fail_pieces=[])
-    errors = synthesize_audio(root=root)
+    errors = synthesize_audio(root=root, engine="fluidsynth")
     assert errors == {}
     assert not os.path.exists(os.path.join(root, "errors", "chopin.txt"))
+
+
+def test_synthesize_audio_auto_probes_binary(tmp_path, monkeypatch):
+    """engine='auto' must not pick fluidsynth on importability alone: with
+    the python modules present but no fluidsynth binary/SoundFont, it falls
+    back to the native engine instead of crashing mid-corpus."""
+    from omr_a2s_multimodal_transformer_tpu.data.prepare_dataset import synthesize_audio
+
+    root = str(tmp_path)
+    _make_corpus(root, "haydn", ["ok_original_m-1-2"])
+    calls = _mock_synthesis_modules(monkeypatch, fail_pieces=[])
+    import shutil as _shutil
+
+    monkeypatch.setattr(_shutil, "which", lambda name: None)
+    errors = synthesize_audio(root=root)  # auto
+    assert errors == {}
+    # native engine produced the WAV; the mocked fluidsynth was never called
+    assert os.path.exists(os.path.join(root, "haydn", "wav", "ok_original_m-1-2.wav"))
+    assert calls["wav"] == []

@@ -14,7 +14,7 @@ Usage: python tools/bench_fused_block.py [--b 8] [--steps 20]
 """
 
 import argparse
-import statistics
+import zlib
 import sys
 import time
 
@@ -79,7 +79,7 @@ def main():
 
     for name in args.blocks:
         f_in, f_out, stride, ci, co, H, Wp = BLOCKS[name]
-        ks = jax.random.split(jax.random.fold_in(rng, hash(name) % 2**30), 8)
+        ks = jax.random.split(jax.random.fold_in(rng, zlib.crc32(name.encode())), 8)
         x = jax.random.normal(ks[0], (args.b, H, Wp, f_in * ci), dt)
         w1 = (jax.random.normal(ks[1], (3, 3, ci, co)) * 0.3).astype(dt)
         b1 = jnp.zeros((co,), dt)

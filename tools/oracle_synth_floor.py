@@ -63,7 +63,6 @@ def decode_image(img: np.ndarray, n_pitches: int) -> str:
     black = img < 100  # staff lines are rendered at 200: excluded
     # Barlines: x columns black over the full height.
     full = black.all(axis=0)
-    bar_cols = np.flatnonzero(full)
     # group consecutive columns into bars
     bars = _blob_runs(full)
     if not bars:

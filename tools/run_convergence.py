@@ -188,17 +188,22 @@ if __name__ == "__main__":
     main()
 
 
-def assemble_report(workdir: str = "runs/convergence"):
+def assemble_report(workdir: str = "runs/convergence", run_name: str = "production"):
     """Rebuild report.json from the runs' metrics.jsonl files (used when
     control and production were executed by separate driver invocations —
-    e.g. after a mid-run relaunch; trajectories live in the run dirs)."""
+    e.g. after a mid-run relaunch; trajectories live in the run dirs).
+    Every run subdirectory found is included (so --run_name variants are
+    never silently dropped); ``run_name`` picks which one the
+    trajectory-match compares against the control."""
     report = {}
-    for name in ("control", "production"):
-        rd = os.path.join(workdir, "runs", name)
+    runs_root = os.path.join(workdir, "runs")
+    names = sorted(os.listdir(runs_root)) if os.path.isdir(runs_root) else []
+    for name in names:
+        rd = os.path.join(runs_root, name)
         if os.path.isdir(rd):
             report[name + "_trajectory"] = read_trajectory(rd)
     ctrl = report.get("control_trajectory") or []
-    prod = report.get("production_trajectory") or []
+    prod = report.get(run_name + "_trajectory") or []
     if ctrl and prod:
         n = min(len(ctrl), len(prod))
         rels = [

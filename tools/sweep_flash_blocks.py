@@ -9,7 +9,6 @@ Usage: python tools/sweep_flash_blocks.py [--b 8] [--lq 1280] [--lk 14336]
 """
 
 import argparse
-import statistics
 import sys
 import time
 

@@ -48,7 +48,6 @@ def group_key(name: str, depth: int) -> str:
     parts = [p for p in name.split("/") if p and not p.startswith("jit(")]
     # strip transpose(...)/jvp(...) wrappers but remember backward-ness
     tag = ""
-    flat = "/".join(parts)
     if "transpose(" in name:
         tag = " [bwd]"
     parts = [p.replace("transpose(jvp(", "").replace("jvp(", "").rstrip(")")
@@ -70,8 +69,6 @@ def main():
     nevents = 0
     for path, xs in load_xplanes(args.trace_dir):
         for plane in device_planes(xs):
-            stats_by_id = {s.metadata_id if hasattr(s, "metadata_id") else 0: s
-                           for s in []}
             meta = plane.event_metadata
             smeta = plane.stat_metadata
             for line in plane.lines:
