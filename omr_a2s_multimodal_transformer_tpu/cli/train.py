@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--decay_steps", type=int, default=0)
+    p.add_argument("--encoder_dropout", type=float, default=0.5,
+                   help="conv-stem MixDropout rate (reference default 0.5; the synthetic "
+                        "convergence corpus' 2-8 px glyphs need lower — see "
+                        "tools/diagnose_errors.py)")
+    p.add_argument("--decoder_dropout", type=float, default=0.1)
+    p.add_argument("--pos_dropout", type=float, default=0.1)
     p.add_argument("--masked_norm", action="store_true",
                    help="mask padded pixels out of instance-norm statistics")
     p.add_argument("--remat", action="store_true",
@@ -51,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pin the preprocessed train corpus in device HBM and gather batches "
                         "on-device (data/device_cache.py): removes per-step host->device input "
                         "transfer for corpora that fit (requires single-bucket collation)")
+    p.add_argument("--device_cache_u8", action="store_true",
+                   help="store cached images as uint8 (2x corpus per GB vs bf16; dequantized "
+                        "on device, bit-exact vs streaming in the bf16 compute path — "
+                        "build fails fast if pixels are not k/255-valued)")
     p.add_argument("--weights_dir", default=None, help="default: weights/<ds_name>")
     p.add_argument("--keep_cache", action="store_true",
                    help="keep the preprocess disk cache (reference clears it after training)")
@@ -72,6 +82,9 @@ def main(argv=None) -> None:
         "input_modality": args.input_modality,
         "mixer_type": args.mixer_type,
         "attn_window": args.attn_window,
+        "encoder_dropout": args.encoder_dropout,
+        "decoder_dropout": args.decoder_dropout,
+        "pos_dropout": args.pos_dropout,
         "masked_norm": args.masked_norm,
         "remat": args.remat,
         "cache_dtype": args.cache_dtype or "bfloat16",
@@ -107,6 +120,7 @@ def main(argv=None) -> None:
         wandb_name=f"Train-{args.ds_name}_Test-{args.ds_name}",
         seed=args.seed,
         device_cache=args.device_cache,
+        device_cache_u8=args.device_cache_u8,
     )
     if args.checkpoint_path and os.path.exists(args.checkpoint_path):
         print(f"Resuming from checkpoint: {args.checkpoint_path}")

@@ -37,6 +37,11 @@ logger = logging.getLogger(__name__)
 # bf16 (it downcasts on-device anyway; see Trainer._BF16_SHIP_KEYS)
 _CAST_KEYS = ("x", "xi", "xa")
 
+# image keys per input modality: eligible for uint8 residency (pixel values
+# are k/255 for u8-origin images with no resize, so u8 round-trips EXACTLY;
+# spectrograms are arbitrary floats and stay in the cast path)
+_IMAGE_KEYS = {"image": ("x",), "both": ("xi",), "audio": ()}
+
 # samples per preprocessing/transfer chunk while building the cache
 _CHUNK = 16
 
@@ -54,7 +59,7 @@ class DeviceCacheLoader:
     transfer once, concatenate into per-key device stacks.
     """
 
-    def __init__(self, loader, cast_bf16: bool = False):
+    def __init__(self, loader, cast_bf16: bool = False, store_u8: bool = False):
         m = loader.ds.input_modality
         buckets: Tuple = (
             (loader.image_bucket, loader.audio_bucket) if m == "both" else (loader.bucket,)
@@ -68,6 +73,11 @@ class DeviceCacheLoader:
         self.loader = loader
         self.batch_size = loader.batch_size
         self.cast_dtype = jnp.bfloat16 if cast_bf16 else None
+        # u8 image residency: 2x (vs bf16) / 4x (vs f32) more corpus per GB of
+        # HBM — what makes a 4k-sample full-res GRANDSTAFF-shape corpus fit on
+        # one 16 GB chip. Verified EXACT during the build (see _build); the
+        # dequantized batch equals the streaming loader's bit-for-bit.
+        self.u8_keys = _IMAGE_KEYS.get(loader.ds.input_modality, ()) if store_u8 else ()
         self._stacks: Dict[str, jax.Array] = {}
 
     def __len__(self) -> int:
@@ -89,9 +99,19 @@ class DeviceCacheLoader:
                 idx = list(range(lo, min(lo + _CHUNK, n)))
                 samples = list(ex.map(ds.__getitem__, idx))
                 batch = self.loader._collate(samples)
+                for k in self.u8_keys:
+                    if k in batch and batch[k].dtype == np.float32:
+                        q = np.round(batch[k] * 255.0).astype(np.uint8)
+                        if not np.array_equal(q.astype(np.float32) / np.float32(255.0), batch[k]):
+                            raise ValueError(
+                                f"device cache store_u8: key '{k}' is not exactly "
+                                "k/255-valued (resized or non-u8-origin images?); "
+                                "disable u8 residency for this corpus"
+                            )
+                        batch[k] = q
                 if self.cast_dtype is not None:
                     for k in _CAST_KEYS:
-                        if k in batch and batch[k].dtype == np.float32:
+                        if k in batch and k not in self.u8_keys and batch[k].dtype == np.float32:
                             batch[k] = batch[k].astype(self.cast_dtype)
                 host_chunks.append(batch)
         # Concatenate on the HOST and ship each key once: device-side chunk
@@ -120,4 +140,14 @@ class DeviceCacheLoader:
             batches.pop()
         for b in batches:
             idx = jnp.asarray(b, dtype=jnp.int32)
-            yield {k: jnp.take(v, idx, axis=0) for k, v in self._stacks.items()}
+            out = {k: jnp.take(v, idx, axis=0) for k, v in self._stacks.items()}
+            for k in self.u8_keys:
+                if k in out:
+                    # u8 -> float batch. In the bf16 compute path this is
+                    # EXACT vs the streaming loader's host-side bf16(k/255):
+                    # bf16 rounding of k/255 and k*(1/255) agree for all 256
+                    # values (verified), so XLA strength-reduction can't
+                    # change the result.
+                    dt = self.cast_dtype or jnp.float32
+                    out[k] = (out[k].astype(jnp.float32) / jnp.float32(255.0)).astype(dt)
+            yield out

@@ -66,6 +66,7 @@ class Trainer:
         profile_first_epoch: bool = False,
         beam_size: int = 1,  # >1: beam search at eval (TPU extra; reference is greedy-only)
         device_cache: bool = False,  # pin the train corpus in HBM (data/device_cache.py)
+        device_cache_u8: bool = False,  # uint8 image residency (2x corpus per GB, bit-exact)
     ):
         self.model = model
         self.vocab = vocab
@@ -84,6 +85,7 @@ class Trainer:
         self.profile_first_epoch = profile_first_epoch
         self.beam_size = beam_size
         self.device_cache = device_cache
+        self.device_cache_u8 = device_cache_u8
         self.logger = MetricsLogger(
             run_dir, use_wandb=use_wandb, wandb_group=wandb_group, wandb_name=wandb_name, config=hparams
         )
@@ -208,7 +210,9 @@ class Trainer:
             else:
                 from omr_a2s_multimodal_transformer_tpu.data.device_cache import DeviceCacheLoader
 
-                train_loader = DeviceCacheLoader(train_loader, cast_bf16=self.bf16_compute)
+                train_loader = DeviceCacheLoader(
+                    train_loader, cast_bf16=self.bf16_compute, store_u8=self.device_cache_u8
+                )
         if self.state is None:
             sample = next(iter(train_loader))
             self.init_state(sample)

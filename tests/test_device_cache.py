@@ -97,3 +97,47 @@ def test_trainer_losses_bit_identical_with_device_cache(tmp_path):
     b = fit(cache, device_cache=True)
     assert len(a) == len(b) == 2
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_store_u8_bit_identical_to_bf16_wire_cast(dm):
+    """u8 image residency: dequantized batches must equal the bf16 streaming
+    cast bit-for-bit (what the train step consumes), for image keys; audio
+    spectrograms stay in the cast path untouched."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    ref = DeviceCacheLoader(dm.train_dataloader(), cast_bf16=True)
+    u8 = DeviceCacheLoader(dm.train_dataloader(), cast_bf16=True, store_u8=True)
+    modality = dm.train_ds.input_modality
+    img_key = {"image": "x", "both": "xi"}[modality]
+    for rb, ub in zip(ref, u8):
+        assert ub[img_key].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(rb[img_key]).view(np.uint16),
+            np.asarray(ub[img_key]).view(np.uint16), err_msg=img_key)
+        if "xa" in rb:  # spectrogram: plain bf16 cast, never quantized
+            np.testing.assert_array_equal(np.asarray(rb["xa"]).view(np.uint16),
+                                          np.asarray(ub["xa"]).view(np.uint16))
+    # residency really is uint8 (the point: 2x corpus per GB)
+    assert u8._stacks[img_key].dtype == jnp.uint8
+
+
+def test_store_u8_rejects_non_k255_pixels(dm):
+    """Non-k/255 float images (e.g. img_height-resized corpora) must fail
+    fast at build instead of silently quantizing."""
+    import pytest as _pytest
+
+    loader = dm.train_dataloader()
+    orig = loader._collate
+
+    def poisoned(samples):
+        b = orig(samples)
+        for k in ("x", "xi"):
+            if k in b and b[k].dtype == np.float32:
+                b[k] = b[k] * np.float32(0.7)  # arbitrary floats
+        return b
+
+    loader._collate = poisoned
+    cached = DeviceCacheLoader(loader, cast_bf16=True, store_u8=True)
+    with _pytest.raises(ValueError, match="store_u8"):
+        next(iter(cached))

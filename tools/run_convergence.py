@@ -83,6 +83,13 @@ def main():
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--decay_steps", type=int, default=0)
+    p.add_argument("--encoder_dropout", type=float, default=0.5)
+    p.add_argument("--device_cache_u8", action="store_true",
+                   help="uint8 image residency in the device cache (fits 4k full-res samples)")
+    p.add_argument("--teacher_forcing_prob", type=float, default=0.2)
+    p.add_argument("--input_modality", default="image", choices=["image", "audio", "both"])
+    p.add_argument("--mixer_type", default=None,
+                   choices=[None, "concat", "attn_img", "attn_audio", "attn_both"])
     p.add_argument("--smoke", action="store_true", help="tiny shapes, CPU-runnable plumbing check")
     args = p.parse_args()
 
@@ -101,17 +108,22 @@ def main():
         "--cache_root", cache_root,
         "--eval_batch_size", str(args.batch),
         "--num_workers", "8",
-        "--input_modality", "image",
+        "--input_modality", args.input_modality,
         "--attn_window", "100",
         "--batch_size", str(args.batch),
-        "--teacher_forcing_prob", "0.2",
+        "--teacher_forcing_prob", str(args.teacher_forcing_prob),
         "--keep_cache",
         "--learning_rate", str(args.learning_rate),
         "--warmup_steps", str(args.warmup_steps),
         "--decay_steps", str(args.decay_steps),
+        "--encoder_dropout", str(args.encoder_dropout),
     ]
+    if args.mixer_type:
+        common += ["--mixer_type", args.mixer_type]
     if not args.no_device_cache:
         common.append("--device_cache")
+        if args.device_cache_u8:
+            common.append("--device_cache_u8")
     report = {"config": vars(args)}
 
     from omr_a2s_multimodal_transformer_tpu.cli import train
