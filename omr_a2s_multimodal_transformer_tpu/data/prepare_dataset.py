@@ -16,6 +16,7 @@ excluded from train/val, remaining 80/20 split with seed 42
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 import shutil
@@ -106,6 +107,19 @@ def synthesize_audio(
             )
         except ImportError:
             engine = "native"
+        # Record the resolution: corpora re-prepared in a changed environment
+        # could otherwise end up with acoustically MIXED WAVs (train/eval
+        # distribution shift) that is undetectable afterwards (ADVICE r3).
+        logging.getLogger(__name__).info("synthesize_audio: engine 'auto' resolved to %r", engine)
+        marker = os.path.join(root, ".synthesis_engine")
+        prev = open(marker).read().strip() if os.path.exists(marker) else None
+        if prev is not None and prev != engine:
+            logging.getLogger(__name__).warning(
+                "synthesize_audio: corpus at %s was previously synthesized with engine "
+                "%r, re-running with %r — WAVs will be acoustically mixed", root, prev, engine,
+            )
+        with open(marker, "w") as f:
+            f.write(engine + "\n")
     if engine == "native":
         return _synthesize_audio_native(root, sample_rate)
 

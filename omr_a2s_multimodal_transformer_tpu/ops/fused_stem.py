@@ -749,6 +749,12 @@ def fused_packed_block(
         conv_impl = "widened"
     if conv_impl not in ("widened", "patched"):
         raise ValueError(f"conv_impl must be 'widened' or 'patched', got {conv_impl!r}")
+    # the whole module (prep_all's _wk_leftpad calls, _conv_patched's column
+    # gather) assumes 3x3 kernels; anything else would get mismatched pads
+    # and silently wrong output (ADVICE r3)
+    for name, w in (("w1", w1), ("w2", w2), ("w3", w3)):
+        if tuple(w.shape[:2]) != (3, 3):
+            raise ValueError(f"fused_packed_block requires 3x3 kernels; {name} is {w.shape[:2]}")
     # Tile height from the VMEM budget: the f32 accumulator [(th+2)*Wp, C]
     # dominates; keep it ~<=4 MB so scratch + double-buffered outs fit in 16.
     Wp_ = x.shape[2]

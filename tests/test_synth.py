@@ -113,13 +113,27 @@ def test_prepare_dataset_native_engine(tmp_path):
 
 
 def test_engine_auto_falls_back_to_native(tmp_path, monkeypatch):
-    # with music21/midi2audio absent (this environment), auto == native
+    # Force the ImportError branch regardless of what's installed (ADVICE r3:
+    # in an env WITH music21/midi2audio this would otherwise silently
+    # exercise the fluidsynth path instead of the fallback it claims to test).
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_midi_deps(name, *a, **k):
+        if name in ("midi2audio", "music21"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_midi_deps)
     c = tmp_path / "mozart"
     (c / "krn").mkdir(parents=True)
     (c / "wav").mkdir()
     (c / "krn" / "p.krn").write_text("**kern\n=1\n2g\n*-\n")
     synthesize_audio(str(tmp_path), engine="auto")
     assert (c / "wav" / "p.wav").exists()
+    # the engine resolution is recorded for mixed-corpus detection
+    assert (tmp_path / ".synthesis_engine").read_text().strip() == "native"
 
 
 def test_bad_engine_rejected(tmp_path):
