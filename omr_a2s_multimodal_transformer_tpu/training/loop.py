@@ -127,6 +127,30 @@ class Trainer:
                         step=0, quiet=False)
         return self.state
 
+    def _reshard(self, tree):
+        """Re-apply mesh placement to a restored tree: params (and the
+        optimizer-moment subtrees, which mirror the param treedef) get their
+        TP/replicated shardings back. Checkpoint restore materializes plain
+        host arrays; without this, a resumed run under a mesh would silently
+        continue on one device."""
+        if self.mesh is None:
+            return tree
+        params_def = jax.tree.structure(self.state.params)
+        shardings = mesh_lib.param_shardings(self.state.params, self.mesh)
+
+        def matches(sub) -> bool:
+            try:
+                return jax.tree.structure(sub) == params_def
+            except Exception:
+                return False
+
+        if matches(tree):  # the params tree itself
+            return jax.tree.map(jax.device_put, tree, shardings)
+        return jax.tree.map(  # opt_state: shard the param-shaped moment subtrees
+            lambda sub: jax.tree.map(jax.device_put, sub, shardings) if matches(sub) else sub,
+            tree, is_leaf=matches,
+        )
+
     def restore(self, path: str) -> None:
         """Restore params (+ optimizer state and step when present and
         structurally compatible — full resume semantics)."""
@@ -139,8 +163,8 @@ class Trainer:
             try:  # full resume with structure-preserving restore
                 restored = ckpt_lib.restore_checkpoint(path, target=target)
                 self.state = self.state.replace(
-                    params=jax.tree.map(jnp.asarray, restored["params"]),
-                    opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+                    params=self._reshard(jax.tree.map(jnp.asarray, restored["params"])),
+                    opt_state=self._reshard(jax.tree.map(jnp.asarray, restored["opt_state"])),
                     step=jnp.int32(restored["step"]),
                 )
                 return
@@ -160,9 +184,12 @@ class Trainer:
         params = restored["params"] if "params" in restored else restored
         params = jax.tree.map(jnp.asarray, params)
         if self.state is None:
+            if self.mesh is not None:
+                shardings = mesh_lib.param_shardings(params, self.mesh)
+                params = jax.tree.map(jax.device_put, params, shardings)
             self.state = TrainState.create(params, self.tx)
         else:
-            self.state = self.state.replace(params=params)
+            self.state = self.state.replace(params=self._reshard(params))
 
     # ------------------------------------------------------------------ train
     # f32 input tensors the bf16 train step downcasts on-device anyway;
