@@ -31,19 +31,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.run_real_shape_e2e import seed_caches  # noqa: E402
 
 
-def synth_cfg(n: int, n_eval: int, smoke: bool) -> str:
+def synth_cfg(n: int, n_eval: int, smoke: bool, n_measures: int = 30) -> str:
     if smoke:
         return json.dumps({
             "n": n, "n_val": n_eval, "n_test": n_eval, "n_measures": 2,
             "img_height_range": [40, 48], "img_width_range": [96, 160],
             "audio_seconds_range": [0.5, 1.0],
         })
+    # GRANDSTAFF-shape geometry, scaled by measure count: heights (and thus
+    # pitch-step pixel geometry) stay at production values; width/audio
+    # length scale with the event count (30 measures = the 4300-4413 px /
+    # 17-18.7 s production corpus).
     return json.dumps({
         "n": n, "n_val": n_eval, "n_test": n_eval,
-        "n_measures": 30,
+        "n_measures": n_measures,
         "img_height_range": [355, 362],
-        "img_width_range": [4300, 4413],
-        "audio_seconds_range": [17.0, 18.7],
+        "img_width_range": [int(4300 / 30 * n_measures), int(4413 / 30 * n_measures)],
+        "audio_seconds_range": [round(17.0 / 30 * n_measures, 2), round(18.7 / 30 * n_measures, 2)],
     })
 
 
@@ -86,6 +90,8 @@ def main():
     p.add_argument("--encoder_dropout", type=float, default=0.5)
     p.add_argument("--device_cache_u8", action="store_true",
                    help="uint8 image residency in the device cache (fits 4k full-res samples)")
+    p.add_argument("--n_measures", type=int, default=30,
+                   help="measures per score; width/audio-length scale with it (30 = production)")
     p.add_argument("--teacher_forcing_prob", type=float, default=0.2)
     p.add_argument("--input_modality", default="image", choices=["image", "audio", "both"])
     p.add_argument("--mixer_type", default=None,
@@ -99,7 +105,7 @@ def main():
 
     common = [
         "--ds_name", "synthetic",
-        "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke),
+        "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke, args.n_measures),
         "--krn_encoding", "kern",
         # NOTE: --use_distorted_images is a dataset-variant selector for
         # HF/directory sources; SyntheticSource has a single clean render,
