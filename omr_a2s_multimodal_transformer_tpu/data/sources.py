@@ -161,7 +161,75 @@ def _parse_kern_events(transcript: str):
     return events
 
 
-def render_score_image(transcript: str, h: int, w: int) -> np.ndarray:
+def grand_geometry(h: int, w: int, n_events: int):
+    """Shared renderer/oracle geometry for the 'grand' style: head half-size
+    r, stem length, chord x-offset — all derived from (h, w, n_events) so the
+    oracle (tools/oracle_synth_floor.py) can probe exact pixel boxes."""
+    band_h = h // 2
+    dx = max(1, w // max(1, n_events))
+    r = max(3, min(band_h // 14, (dx - 2) // 4))
+    return band_h, dx, r
+
+
+def _render_grand(transcript: str, h: int, w: int) -> np.ndarray:
+    """GRANDSTAFF-scale glyph rendering: same content-determinism as the
+    'blob' style but with realistic glyph sizes and SHAPE-coded durations —
+    the blob style's 2-8 px size-coded blobs are an unrealistically faint
+    signal vs real GRANDSTAFF noteheads/stems (~10-40 px features).
+
+    Glyph for (dur, pitch rank, accidental) at column cx, center row cy
+    (cy encodes rank exactly as the blob style):
+      dur 2:  hollow 2r x 2r head (2 px border)
+      dur 4:  filled 2r x 2r head
+      dur 8:  filled head + 2 px stem, 2r tall, at the head's right edge
+      dur 16: ... + an r-wide flag at the stem top
+      acc #:  2 px vertical bar left of the head, UPPER half (cy-r..cy)
+      acc -:  same bar, LOWER half (cy..cy+r)
+    A chord note vertically within 2r+4 px of an already-placed head is
+    shifted right by 2r+4 (like engraved seconds)."""
+    img = np.full((h, w), 255, dtype=np.uint8)
+    events = _parse_kern_events(transcript)
+    if not events:
+        return img
+    band_h, dx, r = grand_geometry(h, w, len(events))
+    stem = 2 * r
+    for v in range(2):
+        top = h - (v + 1) * band_h
+        for line in range(5):
+            y = top + int(band_h * (0.2 + 0.15 * line))
+            img[y : y + 1, :] = 200  # faint staff
+    for e, (kind, payload) in enumerate(events):
+        x = min(e * dx + dx // 2, w - 2)
+        if kind == "bar":
+            img[:, x : x + max(1, dx // 8 + 1)] = 0
+            continue
+        for v, notes in enumerate(payload):
+            top = h - (v + 1) * band_h
+            placed = []  # cy of already-drawn heads (chord collision rule)
+            for dur, rank, acc in notes:
+                frac = 0.85 - 0.7 * rank / max(1, len(_PITCHES) - 1)
+                cy = top + int(band_h * frac)
+                cx = x
+                if any(abs(cy - p) < 2 * r + 4 for p in placed):
+                    cx = x + 2 * r + 4
+                placed.append(cy)
+                y0, y1 = cy - r, cy + r
+                x0, x1 = cx - r, cx + r
+                img[max(0, y0):y1, max(0, x0):x1] = 0
+                if dur == 2:  # hollow head
+                    img[max(0, y0 + 2):y1 - 2, max(0, x0 + 2):x1 - 2] = 255
+                if dur in (8, 16):  # stem
+                    img[max(0, y0 - stem):y0, max(0, x1 - 2):x1] = 0
+                if dur == 16:  # flag
+                    img[max(0, y0 - stem):max(0, y0 - stem + 3), x1:min(w, x1 + r)] = 0
+                if acc > 0:
+                    img[max(0, y0):cy, max(0, x0 - 4):max(0, x0 - 2)] = 0
+                elif acc < 0:
+                    img[cy:y1, max(0, x0 - 4):max(0, x0 - 2)] = 0
+    return img
+
+
+def render_score_image(transcript: str, h: int, w: int, style: str = "blob") -> np.ndarray:
     """CONTENT-DETERMINISTIC toy notation: every kern token is legible from
     the pixels, so a correct model can actually generalize on the synthetic
     corpus (val/test use different generator seeds than train —
@@ -172,7 +240,13 @@ def render_score_image(transcript: str, h: int, w: int) -> np.ndarray:
     lines). Two voice bands (voice 0 bottom, voice 1 top), 5 faint staff
     lines each. A note is a filled blob whose VERTICAL position encodes the
     pitch rank, whose SIZE encodes the duration class (2,4,8,16), and an
-    accidental tick above (#) or below (-) the blob."""
+    accidental tick above (#) or below (-) the blob.
+
+    style='grand' switches to GRANDSTAFF-scale glyphs (_render_grand)."""
+    if style == "grand":
+        return _render_grand(transcript, h, w)
+    if style != "blob":
+        raise ValueError(f"unknown render style {style!r}: use 'blob' or 'grand'")
     img = np.full((h, w), 255, dtype=np.uint8)
     events = _parse_kern_events(transcript)
     if not events:
@@ -254,6 +328,7 @@ class SyntheticSource:
         audio_seconds_range=(0.5, 1.5),
         n_measures: int = 2,
         encoding: str = "kern",
+        render_style: str = "blob",
     ):
         self.n = n
         self.seed = seed
@@ -262,6 +337,7 @@ class SyntheticSource:
         self.audio_seconds_range = audio_seconds_range
         self.n_measures = n_measures
         self.encoding = encoding
+        self.render_style = render_style
 
     def __len__(self) -> int:
         return self.n
@@ -278,7 +354,7 @@ class SyntheticSource:
         rng = np.random.default_rng(self.seed * 100003 + idx + 7919)
         h = int(rng.integers(*self.img_height_range))
         w = int(rng.integers(*self.img_width_range))
-        img = render_score_image(transcript, h, w)
+        img = render_score_image(transcript, h, w, style=self.render_style)
         secs = float(rng.uniform(*self.audio_seconds_range))
         wave = render_score_audio(transcript, secs)
         return {

@@ -43,3 +43,39 @@ def test_oracle_beats_model_plateau_margin():
     # held-out seed, different geometry: the floor stays far below the
     # trained plateau (~47) everywhere, not just at one shape
     assert _floor(4, seed=2, n_measures=8, h_range=(128, 160), w_range=(700, 900)) < 12.0
+
+
+def _floor_grand(n, seed, n_measures, h_range, w_range):
+    from tools.oracle_synth_floor import decode_image_grand
+
+    src = sources.SyntheticSource(
+        n=n, seed=seed, n_measures=n_measures,
+        img_height_range=h_range, img_width_range=w_range, encoding="kern",
+        render_style="grand",
+    )
+    parser = KrnParser("kern")
+    y_true, y_pred = [], []
+    for i in range(n):
+        ex = src[i]
+        rec = decode_image_grand(np.asarray(ex["image"]), n_pitches=len(sources._PITCHES))
+        y_true.append(parser.encode(ex["transcript"]))
+        y_pred.append(parser.encode(rec))
+    return compute_ed_metrics(y_true, y_pred)["sym-er"]
+
+
+def test_grand_style_oracle_floor():
+    """'grand' render style (GRANDSTAFF-scale glyphs): same information
+    content as 'blob' — the probe oracle reads it back at single-digit SER
+    (measured 5.4 at full production geometry; CI-sized bound with slack)."""
+    assert _floor_grand(4, seed=1, n_measures=4, h_range=(300, 362), w_range=(560, 600)) < 12.0
+
+
+def test_grand_style_render_is_deterministic_and_distinct():
+    tr = sources.synthetic_kern(np.random.default_rng(7), n_measures=2)
+    a = sources.render_score_image(tr, 360, 300, style="grand")
+    b = sources.render_score_image(tr, 360, 300, style="grand")
+    blob = sources.render_score_image(tr, 360, 300)
+    np.testing.assert_array_equal(a, b)
+    assert (a != blob).any()
+    # glyphs are GRANDSTAFF-bold: much more ink than the blob style
+    assert (a < 100).sum() > 1.5 * (blob < 100).sum()

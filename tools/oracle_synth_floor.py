@@ -106,6 +106,77 @@ def decode_image(img: np.ndarray, n_pitches: int) -> str:
     return "\n".join(parser_lines) + "\n"
 
 
+def _frac_black(region: np.ndarray) -> float:
+    return float(region.mean()) if region.size else 0.0
+
+
+def decode_image_grand(img: np.ndarray, n_pitches: int) -> str:
+    """Inverse of sources._render_grand by geometry-aware pixel probing.
+
+    The renderer's layout is fully determined by (h, w, n_events), so instead
+    of connected-component analysis (fragile when flags/stems of dense events
+    touch) the oracle probes the EXACT boxes a glyph would occupy: a head
+    exists where the 2r x 2r box border is ~all black; duration from
+    interior (hollow=2) / stem / flag probes; accidental from the left-bar
+    probes. Irreducible ambiguities (chord RNG draw order) remain counted,
+    as in the blob oracle."""
+    h, w = img.shape
+    black = img < 100
+    full = black.all(axis=0)
+    bars = _blob_runs(full)
+    if not bars:
+        return ""
+    n_measures = len(bars)
+    n_events = 5 * n_measures
+    from omr_a2s_multimodal_transformer_tpu.data.sources import grand_geometry
+
+    band_h, dx, r = grand_geometry(h, w, n_events)
+    stem = 2 * r
+    parser_lines = ["**kern\t**kern", "*clefF4\t*clefG2", "*M4/4\t*M4/4"]
+    for m in range(n_measures):
+        parser_lines.append(f"={m + 1}\t={m + 1}")
+        for k in range(4):
+            e = 5 * m + 1 + k
+            x = min(e * dx + dx // 2, w - 2)
+            cols = []
+            for v in range(2):
+                top = h - (v + 1) * band_h
+                notes = []  # (cy, token) -> emitted top-down like the renderer's component order
+                for cx in (x, x + 2 * r + 4):
+                    for rank in range(n_pitches):
+                        frac = 0.85 - 0.7 * rank / max(1, n_pitches - 1)
+                        cy = top + int(band_h * frac)
+                        y0, y1, x0, x1 = cy - r, cy + r, cx - r, cx + r
+                        if y0 < 0 or y1 > h or x0 < 0 or x1 > w:
+                            continue
+                        box = black[y0:y1, x0:x1]
+                        border = np.concatenate([box[0], box[-1], box[:, 0], box[:, -1]])
+                        if _frac_black(border) < 0.9:
+                            continue
+                        hollow = _frac_black(black[cy - 1:cy + 1, cx - 1:cx + 1]) < 0.5
+                        if hollow:
+                            dur = "2"
+                        elif _frac_black(black[max(0, y0 - stem):y0, x1 - 2:x1]) >= 0.6:
+                            flag = _frac_black(
+                                black[max(0, y0 - stem):max(0, y0 - stem + 3), x1:min(w, x1 + r)]
+                            ) >= 0.6
+                            dur = "16" if flag else "8"
+                        else:
+                            dur = "4"
+                        acc = ""
+                        if x0 - 4 >= 0:
+                            if _frac_black(black[max(0, y0):cy, x0 - 4:x0 - 2]) >= 0.6:
+                                acc = "#"
+                            elif _frac_black(black[cy:y1, x0 - 4:x0 - 2]) >= 0.6:
+                                acc = "-"
+                        notes.append((cy, f"{dur}{sources._PITCHES[rank]}{acc}"))
+                notes.sort(key=lambda t: t[0])  # top-down
+                cols.append(" ".join(tok for _, tok in notes) if notes else ".")
+            parser_lines.append(f"{cols[0]}\t{cols[1]}")
+    parser_lines.append("*-\t*-")
+    return "\n".join(parser_lines) + "\n"
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=64)
@@ -113,23 +184,26 @@ def main():
     p.add_argument("--measures", type=int, default=30)
     p.add_argument("--h_range", type=int, nargs=2, default=[355, 362])
     p.add_argument("--w_range", type=int, nargs=2, default=[4300, 4413])
+    p.add_argument("--style", default="blob", choices=["blob", "grand"],
+                   help="render style to invert (sources.render_score_image)")
     args = p.parse_args()
 
     src = sources.SyntheticSource(
         n=args.n, seed=args.seed, n_measures=args.measures,
         img_height_range=tuple(args.h_range), img_width_range=tuple(args.w_range),
-        encoding="kern",
+        encoding="kern", render_style=args.style,
     )
     parser = KrnParser("kern")
     y_true, y_pred = [], []
     for i in range(args.n):
         ex = src[i]
         img = np.asarray(ex["image"])
-        rec = decode_image(img, n_pitches=len(sources._PITCHES))
+        decode = decode_image_grand if args.style == "grand" else decode_image
+        rec = decode(img, n_pitches=len(sources._PITCHES))
         y_true.append(parser.encode(ex["transcript"]))
         y_pred.append(parser.encode(rec))
     m = compute_ed_metrics(y_true, y_pred)
-    out = {"n": args.n, "seed": args.seed, "n_measures": args.measures,
+    out = {"n": args.n, "seed": args.seed, "n_measures": args.measures, "style": args.style,
            "oracle_sym_er": round(float(m["sym-er"]), 3),
            "oracle_seq_er": round(float(m["seq-er"]), 3)}
     print(json.dumps(out))
