@@ -18,6 +18,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input_modality", default="audio", choices=["audio", "image", "both"])
     p.add_argument("--compute_mv2h", action="store_true")
     p.add_argument("--beam_size", type=int, default=1, help=">1: beam search instead of greedy")
+    p.add_argument("--length_penalty", type=float, default=0.0,
+                   help="GNMT length penalty for beam search (score / ((5+len)/6)^lp)")
     p.add_argument("--packed_stem", choices=["on", "off"], default=None,
                    help="override the checkpoint's lane-packed-stem setting (numerics-equivalent; "
                         "'on' speeds up encode on TPU for checkpoints trained before the flag existed)")
@@ -48,7 +50,7 @@ def main(argv=None) -> None:
         mesh=common.make_mesh_if_needed(args),
         use_wandb=args.use_wandb, seed=args.seed,
         ytest_i2w=ytest_i2w, compute_mv2h=args.compute_mv2h,
-        beam_size=args.beam_size,
+        beam_size=args.beam_size, length_penalty=args.length_penalty,
     )
     trainer.restore(args.checkpoint_path)
     metrics = trainer.test(dm)

@@ -65,6 +65,7 @@ class Trainer:
         compute_mv2h: bool = False,
         profile_first_epoch: bool = False,
         beam_size: int = 1,  # >1: beam search at eval (TPU extra; reference is greedy-only)
+        length_penalty: float = 0.0,  # GNMT length penalty for beam search
         device_cache: bool = False,  # pin the train corpus in HBM (data/device_cache.py)
         device_cache_u8: bool = False,  # uint8 image residency (2x corpus per GB, bit-exact)
     ):
@@ -84,6 +85,7 @@ class Trainer:
         self.ytest_i2w = ytest_i2w  # cross-domain eval: GT decoded in test vocab
         self.profile_first_epoch = profile_first_epoch
         self.beam_size = beam_size
+        self.length_penalty = length_penalty
         self.device_cache = device_cache
         self.device_cache_u8 = device_cache_u8
         self.logger = MetricsLogger(
@@ -322,6 +324,7 @@ class Trainer:
                         self.model, max_len=self.model.max_seq_len,
                         sos_id=self.vocab.sos_id, eos_id=self.vocab.eos_id,
                         beam_size=self.beam_size, multimodal=self.multimodal,
+                        length_penalty=self.length_penalty,
                     )
                 )
             else:

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.run_real_shape_e2e import seed_caches  # noqa: E402
 
 
-def synth_cfg(n: int, n_eval: int, smoke: bool, n_measures: int = 30) -> str:
+def synth_cfg(n: int, n_eval: int, smoke: bool, n_measures: int = 30, render_style: str = "blob") -> str:
     if smoke:
         return json.dumps({
             "n": n, "n_val": n_eval, "n_test": n_eval, "n_measures": 2,
@@ -44,7 +44,7 @@ def synth_cfg(n: int, n_eval: int, smoke: bool, n_measures: int = 30) -> str:
     # 17-18.7 s production corpus).
     return json.dumps({
         "n": n, "n_val": n_eval, "n_test": n_eval,
-        "n_measures": n_measures,
+        "n_measures": n_measures, "render_style": render_style,
         "img_height_range": [355, 362],
         "img_width_range": [int(4300 / 30 * n_measures), int(4413 / 30 * n_measures)],
         "audio_seconds_range": [round(17.0 / 30 * n_measures, 2), round(18.7 / 30 * n_measures, 2)],
@@ -92,6 +92,8 @@ def main():
                    help="uint8 image residency in the device cache (fits 4k full-res samples)")
     p.add_argument("--n_measures", type=int, default=30,
                    help="measures per score; width/audio-length scale with it (30 = production)")
+    p.add_argument("--render_style", default="blob", choices=["blob", "grand"],
+                   help="image render style (sources.render_score_image)")
     p.add_argument("--teacher_forcing_prob", type=float, default=0.2)
     p.add_argument("--input_modality", default="image", choices=["image", "audio", "both"])
     p.add_argument("--mixer_type", default=None,
@@ -105,7 +107,7 @@ def main():
 
     common = [
         "--ds_name", "synthetic",
-        "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke, args.n_measures),
+        "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke, args.n_measures, args.render_style),
         "--krn_encoding", "kern",
         # NOTE: --use_distorted_images is a dataset-variant selector for
         # HF/directory sources; SyntheticSource has a single clean render,
