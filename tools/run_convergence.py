@@ -88,6 +88,8 @@ def main():
     p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--decay_steps", type=int, default=0)
     p.add_argument("--encoder_dropout", type=float, default=0.5)
+    p.add_argument("--decoder_dropout", type=float, default=0.1)
+    p.add_argument("--pos_dropout", type=float, default=0.1)
     p.add_argument("--device_cache_u8", action="store_true",
                    help="uint8 image residency in the device cache (fits 4k full-res samples)")
     p.add_argument("--n_measures", type=int, default=30,
@@ -125,6 +127,8 @@ def main():
         "--warmup_steps", str(args.warmup_steps),
         "--decay_steps", str(args.decay_steps),
         "--encoder_dropout", str(args.encoder_dropout),
+        "--decoder_dropout", str(args.decoder_dropout),
+        "--pos_dropout", str(args.pos_dropout),
     ]
     if args.mixer_type:
         common += ["--mixer_type", args.mixer_type]
