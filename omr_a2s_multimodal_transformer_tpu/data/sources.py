@@ -329,6 +329,7 @@ class SyntheticSource:
         n_measures: int = 2,
         encoding: str = "kern",
         render_style: str = "blob",
+        n_measures_range=None,
     ):
         self.n = n
         self.seed = seed
@@ -338,6 +339,16 @@ class SyntheticSource:
         self.n_measures = n_measures
         self.encoding = encoding
         self.render_style = render_style
+        # Varied score lengths (GRANDSTAFF-realistic): n_measures_range
+        # = [lo, hi] draws a per-sample measure count and scales width/audio
+        # length with it, so short samples keep production glyph density.
+        # A fixed-length corpus (every sample at max length/width) is the
+        # HARDEST possible curriculum for cross-attention alignment
+        # latching — mixed lengths are both more realistic and what lets
+        # attention lock on early (measured: the fixed 30-measure corpus
+        # plateaus at val SER ~46-52 with the model never reading the
+        # image — mispaired-image teacher-forced loss equals paired).
+        self.n_measures_range = tuple(n_measures_range) if n_measures_range else None
 
     def __len__(self) -> int:
         return self.n
@@ -345,17 +356,29 @@ class SyntheticSource:
     def _rng(self, idx: int) -> np.random.Generator:
         return np.random.default_rng(self.seed * 100003 + idx)
 
+    def _measures(self, idx: int) -> int:
+        if self.n_measures_range is None:
+            return self.n_measures
+        lo, hi = self.n_measures_range
+        r = np.random.default_rng(self.seed * 100003 + idx + 15551)
+        return int(r.integers(lo, hi + 1))
+
     def __getitem__(self, idx: int) -> Dict:
         from PIL import Image
 
         # Transcript uses a FRESH generator so it matches transcripts()
         # regardless of how many draws the image/audio below consume.
-        transcript = synthetic_kern(self._rng(idx), n_measures=self.n_measures)
+        n_m = self._measures(idx)
+        transcript = synthetic_kern(self._rng(idx), n_measures=n_m)
         rng = np.random.default_rng(self.seed * 100003 + idx + 7919)
+        # img_width_range/audio_seconds_range describe a NOMINAL
+        # self.n_measures-long score; scale by the drawn count so glyph
+        # density (px and seconds per event) stays constant across lengths.
+        scale = n_m / max(1, self.n_measures)
         h = int(rng.integers(*self.img_height_range))
-        w = int(rng.integers(*self.img_width_range))
+        w = max(32, int(round(int(rng.integers(*self.img_width_range)) * scale)))
         img = render_score_image(transcript, h, w, style=self.render_style)
-        secs = float(rng.uniform(*self.audio_seconds_range))
+        secs = max(0.2, float(rng.uniform(*self.audio_seconds_range)) * scale)
         wave = render_score_audio(transcript, secs)
         return {
             "transcript": transcript,
@@ -364,7 +387,7 @@ class SyntheticSource:
         }
 
     def transcripts(self) -> List[str]:
-        return [synthetic_kern(self._rng(i), n_measures=self.n_measures) for i in range(self.n)]
+        return [synthetic_kern(self._rng(i), n_measures=self._measures(i)) for i in range(self.n)]
 
 
 def make_source(

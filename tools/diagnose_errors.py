@@ -45,7 +45,8 @@ def build(args):
     cache_root = os.path.join(args.workdir, "grandstaff_cache")
     a = test_cli.build_parser().parse_args([
         "--ds_name", "synthetic",
-        "--synthetic_config", synth_cfg(args.train_n, args.eval_n, False),
+        "--synthetic_config", synth_cfg(args.train_n, args.eval_n, False,
+                                        args.n_measures, args.render_style),
         "--krn_encoding", "kern",
         "--use_distorted_images",
         "--cache_root", cache_root,
@@ -137,6 +138,8 @@ def main():
     ap.add_argument("--train_n", type=int, default=1024)
     ap.add_argument("--eval_n", type=int, default=64)
     ap.add_argument("--n_batches", type=int, default=2)
+    ap.add_argument("--n_measures", type=int, default=30)
+    ap.add_argument("--render_style", default="blob", choices=["blob", "grand"])
     args = ap.parse_args()
 
     dm, model, params, hp = build(args)

@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.run_real_shape_e2e import seed_caches  # noqa: E402
 
 
-def synth_cfg(n: int, n_eval: int, smoke: bool, n_measures: int = 30, render_style: str = "blob") -> str:
+def synth_cfg(n: int, n_eval: int, smoke: bool, n_measures: int = 30, render_style: str = "blob",
+              img_height: int = 361, measures_range=None) -> str:
     if smoke:
         return json.dumps({
             "n": n, "n_val": n_eval, "n_test": n_eval, "n_measures": 2,
@@ -42,13 +43,16 @@ def synth_cfg(n: int, n_eval: int, smoke: bool, n_measures: int = 30, render_sty
     # pitch-step pixel geometry) stay at production values; width/audio
     # length scale with the event count (30 measures = the 4300-4413 px /
     # 17-18.7 s production corpus).
-    return json.dumps({
+    cfg = {
         "n": n, "n_val": n_eval, "n_test": n_eval,
         "n_measures": n_measures, "render_style": render_style,
-        "img_height_range": [355, 362],
+        "img_height_range": [img_height - 6, img_height + 1],
         "img_width_range": [int(4300 / 30 * n_measures), int(4413 / 30 * n_measures)],
         "audio_seconds_range": [round(17.0 / 30 * n_measures, 2), round(18.7 / 30 * n_measures, 2)],
-    })
+    }
+    if measures_range:
+        cfg["n_measures_range"] = list(measures_range)
+    return json.dumps(cfg)
 
 
 def read_trajectory(run_dir: str):
@@ -96,6 +100,12 @@ def main():
                    help="measures per score; width/audio-length scale with it (30 = production)")
     p.add_argument("--render_style", default="blob", choices=["blob", "grand"],
                    help="image render style (sources.render_score_image)")
+    p.add_argument("--measures_range", nargs=2, type=int, default=None,
+                   help="per-sample measure count [lo hi]; width/audio scale with it "
+                        "(GRANDSTAFF-realistic mixed lengths — the alignment curriculum)")
+    p.add_argument("--img_height", type=int, default=361,
+                   help="image height (361 = production; taller stretches the pitch "
+                        "pixel geometry — the vertical-resolution probe knob)")
     p.add_argument("--teacher_forcing_prob", type=float, default=0.2)
     p.add_argument("--input_modality", default="image", choices=["image", "audio", "both"])
     p.add_argument("--mixer_type", default=None,
@@ -109,7 +119,8 @@ def main():
 
     common = [
         "--ds_name", "synthetic",
-        "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke, args.n_measures, args.render_style),
+        "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke, args.n_measures,
+                                        args.render_style, args.img_height, args.measures_range),
         "--krn_encoding", "kern",
         # NOTE: --use_distorted_images is a dataset-variant selector for
         # HF/directory sources; SyntheticSource has a single clean render,
