@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--decay_steps", type=int, default=0)
+    p.add_argument("--clip_norm", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off, reference parity; the "
+                        "post-LN decoder emits rare gradient spikes at lr >= 3e-4 that "
+                        "collapse training into the unigram basin — 1.0 guards them)")
     p.add_argument("--encoder_dropout", type=float, default=0.5,
                    help="conv-stem MixDropout rate (reference default 0.5; the synthetic "
                         "convergence corpus' 2-8 px glyphs need lower — see "
@@ -112,6 +116,7 @@ def main(argv=None) -> None:
         learning_rate=args.learning_rate,
         warmup_steps=args.warmup_steps,
         decay_steps=args.decay_steps,
+        clip_norm=args.clip_norm,
         teacher_forcing_prob=args.teacher_forcing_prob,
         teacher_forcing_modality_prob=args.teacher_forcing_modality_prob,
         bf16_compute=not args.no_bf16, multimodal=multimodal,

@@ -52,6 +52,7 @@ class Trainer:
         learning_rate: float = 1e-4,
         warmup_steps: int = 0,
         decay_steps: int = 0,
+        clip_norm: float = 0.0,  # >0: global-norm gradient clipping (post-LN spike guard)
         teacher_forcing_prob: float = 0.2,
         teacher_forcing_modality_prob: float = 0.2,
         bf16_compute: bool = True,
@@ -91,7 +92,8 @@ class Trainer:
         self.logger = MetricsLogger(
             run_dir, use_wandb=use_wandb, wandb_group=wandb_group, wandb_name=wandb_name, config=hparams
         )
-        self.tx = adam(learning_rate, warmup_steps=warmup_steps, decay_steps=decay_steps)
+        self.tx = adam(learning_rate, warmup_steps=warmup_steps, decay_steps=decay_steps,
+                       clip_norm=clip_norm)
         self.train_step = make_train_step(
             model, vocab_size=len(vocab),
             teacher_forcing_prob=teacher_forcing_prob,

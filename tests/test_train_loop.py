@@ -137,3 +137,37 @@ def test_bf16_input_shipping_is_numerics_identical():
     batch_bf16 = dict(batch, x=batch["x"].astype(jnp.bfloat16))
     _, loss_bf16 = step(fresh(), batch_bf16, skey)
     assert float(loss_f32) == float(loss_bf16)
+
+
+def test_clip_norm_bounds_updates_and_zero_is_identity():
+    """adam(clip_norm=c) caps the global gradient norm at c before the Adam
+    moments; clip_norm=0 is exactly the unclipped transformation (reference
+    parity — Lightning's default has no clipping)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from omr_a2s_multimodal_transformer_tpu.training.train_state import adam
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    spike = {"w": jnp.full((4,), 1e6), "b": jnp.full((2,), -1e6)}
+
+    clipped = adam(1e-4, clip_norm=1.0)
+    st = clipped.init(params)
+    _, st = clipped.update(spike, st, params)
+    # after global-norm clipping the Adam moments see a norm-1 gradient
+    inner = st[1] if isinstance(st, tuple) else st
+    mu = inner[0].mu if hasattr(inner[0], "mu") else None
+    assert mu is not None
+    gnorm = optax.global_norm(mu)
+    assert float(gnorm) <= 0.1 + 1e-6  # b1=0.9 -> mu = 0.1 * clipped grad
+
+    plain = adam(1e-4, clip_norm=0.0)
+    ref = optax.adam(1e-4, b1=0.9, b2=0.999, eps=1e-8)
+    g = {"w": jnp.arange(4.0), "b": jnp.asarray([0.5, -0.5])}
+    u1, _ = plain.update(g, plain.init(params), params)
+    u2, _ = ref.update(g, ref.init(params), params)
+    assert all(
+        bool(jnp.allclose(a, b))
+        for a, b in zip(jax.tree.leaves(u1), jax.tree.leaves(u2))
+    )

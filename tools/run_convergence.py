@@ -91,6 +91,8 @@ def main():
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--decay_steps", type=int, default=0)
+    p.add_argument("--clip_norm", type=float, default=0.0,
+                   help="global-norm gradient clipping (post-LN spike guard for lr >= 3e-4)")
     p.add_argument("--encoder_dropout", type=float, default=0.5)
     p.add_argument("--decoder_dropout", type=float, default=0.1)
     p.add_argument("--pos_dropout", type=float, default=0.1)
@@ -137,6 +139,7 @@ def main():
         "--learning_rate", str(args.learning_rate),
         "--warmup_steps", str(args.warmup_steps),
         "--decay_steps", str(args.decay_steps),
+        "--clip_norm", str(args.clip_norm),
         "--encoder_dropout", str(args.encoder_dropout),
         "--decoder_dropout", str(args.decoder_dropout),
         "--pos_dropout", str(args.pos_dropout),

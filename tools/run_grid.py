@@ -51,13 +51,20 @@ def main():
     p.add_argument("--train_n", type=int, default=1024)
     p.add_argument("--eval_n", type=int, default=128)
     p.add_argument("--n_measures", type=int, default=10)
+    p.add_argument("--measures_range", nargs=2, type=int, default=None,
+                   help="per-sample measure-count range (varied lengths; GRANDSTAFF-like)")
     p.add_argument("--render_style", default="grand", choices=["blob", "grand"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--check_val_every_n_epoch", type=int, default=10)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument("--clip_norm", type=float, default=0.0,
+                   help="global-norm gradient clipping (1.0 = the measured post-LN spike guard)")
     p.add_argument("--encoder_dropout", type=float, default=0.5)
+    p.add_argument("--decoder_dropout", type=float, default=0.1)
+    p.add_argument("--pos_dropout", type=float, default=0.1)
+    p.add_argument("--teacher_forcing_prob", type=float, default=0.2)
     p.add_argument("--legs", nargs="+", default=["image", "audio", "concat", "attn_img"])
     p.add_argument("--alphas", nargs="+", type=float, default=[0.3, 0.5, 0.7])
     p.add_argument("--skip_fusion", action="store_true")
@@ -75,7 +82,8 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     cache_root = os.path.join(args.workdir, "grandstaff_cache")
     seed_caches(cache_root, smoke=args.smoke)
-    cfg = synth_cfg(args.train_n, args.eval_n, args.smoke, args.n_measures, args.render_style)
+    cfg = synth_cfg(args.train_n, args.eval_n, args.smoke, args.n_measures, args.render_style,
+                    measures_range=args.measures_range)
     steps_per_epoch = max(1, args.train_n // args.batch)
 
     data_args = [
@@ -123,11 +131,14 @@ def main():
                 "--attn_window", "100",
                 "--batch_size", str(args.batch),
                 "--num_workers", "8",
-                "--teacher_forcing_prob", "0.2",
+                "--teacher_forcing_prob", str(args.teacher_forcing_prob),
                 "--learning_rate", str(args.learning_rate),
                 "--warmup_steps", str(args.warmup_epochs * steps_per_epoch),
                 "--decay_steps", str(args.epochs * steps_per_epoch),
+                "--clip_norm", str(args.clip_norm),
                 "--encoder_dropout", str(args.encoder_dropout),
+                "--decoder_dropout", str(args.decoder_dropout),
+                "--pos_dropout", str(args.pos_dropout),
                 "--epochs", str(args.epochs),
                 "--patience", "1000000",
                 "--check_val_every_n_epoch", str(args.check_val_every_n_epoch),
