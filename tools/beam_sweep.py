@@ -32,6 +32,7 @@ def main():
     p.add_argument("--train_n", type=int, default=1024)
     p.add_argument("--eval_n", type=int, default=64)
     p.add_argument("--n_measures", type=int, default=30)
+    p.add_argument("--measures_range", nargs=2, type=int, default=None)
     p.add_argument("--render_style", default="blob", choices=["blob", "grand"])
     p.add_argument("--input_modality", default="image", choices=["image", "audio", "both"])
     p.add_argument("--batch", type=int, default=8)
@@ -53,7 +54,8 @@ def main():
             argv = [
                 "--ds_name", "synthetic",
                 "--synthetic_config", synth_cfg(args.train_n, args.eval_n, False,
-                                                args.n_measures, args.render_style),
+                                                args.n_measures, args.render_style,
+                                                measures_range=args.measures_range),
                 "--krn_encoding", "kern",
                 "--use_distorted_images",
                 "--cache_root", cache_root,

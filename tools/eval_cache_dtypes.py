@@ -36,6 +36,9 @@ def main():
                    help="MUST match the corpus config the checkpoint was trained with "
                         "(synthetic source derives per-split content from n + split seed)")
     p.add_argument("--eval_n", type=int, default=64)
+    p.add_argument("--n_measures", type=int, default=30)
+    p.add_argument("--measures_range", nargs=2, type=int, default=None)
+    p.add_argument("--render_style", default="blob", choices=["blob", "grand"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--dtypes", nargs="+", default=["float32", "bfloat16", "int8", "int4"])
     p.add_argument("--beams", nargs="+", type=int, default=[1])
@@ -56,7 +59,9 @@ def main():
         for beam in args.beams:
             argv = [
                 "--ds_name", "synthetic",
-                "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke),
+                "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke,
+                                                args.n_measures, args.render_style,
+                                                measures_range=args.measures_range),
                 "--krn_encoding", "kern",
                 "--use_distorted_images",
                 "--cache_root", cache_root,

@@ -70,6 +70,10 @@ def main():
     p.add_argument("--skip_fusion", action="store_true")
     p.add_argument("--skip_training", action="store_true",
                    help="reuse existing leg checkpoints; only (re)run tests + fusion")
+    p.add_argument("--reuse_existing", action="store_true",
+                   help="skip training any leg whose best checkpoint already exists "
+                        "(e.g. an image leg pre-seeded from a prior convergence run "
+                        "on the identical corpus)")
     p.add_argument("--smoke", action="store_true", help="tiny shapes, CPU plumbing check")
     p.add_argument("--out", default="reports/grid_r04.json")
     args = p.parse_args()
@@ -123,7 +127,9 @@ def main():
     for leg in args.legs:
         modality, mixer = leg_spec(leg)
         t0 = time.time()
-        if not args.skip_training:
+        if args.reuse_existing and os.path.exists(best_ckpt(leg)):
+            print(f"\n=== {leg}: reusing existing checkpoint ===", flush=True)
+        elif not args.skip_training:
             print(f"\n=== train {leg} ({args.epochs} epochs) ===", flush=True)
             argv = data_args + [
                 "--keep_cache",
