@@ -244,24 +244,41 @@ class Trainer:
                 train_loader = DeviceCacheLoader(
                     train_loader, cast_bf16=self.bf16_compute, store_u8=self.device_cache_u8
                 )
+        start_epoch = 1
+        best = float("inf")
+        best_epoch = -1
         if self.state is None:
             sample = next(iter(train_loader))
             self.init_state(sample)
             last = os.path.join(self.weights_dir, "last")
             if auto_resume and os.path.exists(last):
-                # crash/restart recovery: resume the latest full state
+                # crash/restart recovery: resume the latest full state AND
+                # the epoch/best-metric bookkeeping from the hparams sidecars
+                # (otherwise a resumed run restarts epoch numbering at 1 —
+                # retraining self.epochs MORE epochs — and best=inf lets the
+                # first post-resume val overwrite a better pre-crash 'best').
                 self.restore(last)
-                self.logger.log({"resumed_from": last, "resumed_step": int(self.state.step)}, step=int(self.state.step))
+                meta = ckpt_lib.load_hparams(last)
+                start_epoch = int(meta.get("epoch", 0)) + 1
+                best_path = os.path.join(self.weights_dir, "best")
+                if os.path.exists(best_path):
+                    bmeta = ckpt_lib.load_hparams(best_path)
+                    if "val_sym-er" in bmeta:
+                        best = float(bmeta["val_sym-er"])
+                        best_epoch = int(bmeta.get("epoch", -1))
+                self.logger.log(
+                    {"resumed_from": last, "resumed_step": int(self.state.step),
+                     "resumed_epoch": start_epoch - 1, "resumed_best": best},
+                    step=int(self.state.step),
+                )
 
         host_rng = np.random.default_rng(self.seed)
         rng = jax.random.PRNGKey(self.seed + 1)
-        best = float("inf")
-        best_epoch = -1
         bad_checks = 0
         step = int(self.state.step)
         timer = StepTimer()
 
-        for epoch in range(1, self.epochs + 1):
+        for epoch in range(start_epoch, self.epochs + 1):
             t0 = time.time()
             losses = []
             it = iter(train_loader)

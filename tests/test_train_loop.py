@@ -171,3 +171,54 @@ def test_clip_norm_bounds_updates_and_zero_is_identity():
         bool(jnp.allclose(a, b))
         for a, b in zip(jax.tree.leaves(u1), jax.tree.leaves(u2))
     )
+
+
+def test_auto_resume_continues_epochs_and_keeps_best(dm, tmp_path):
+    """Crash/restart recovery resumes at the saved epoch (not epoch 1: that
+    would retrain `epochs` MORE epochs) and keeps the pre-crash best metric
+    (not inf: a worse post-resume val must not overwrite a better 'best')."""
+    import json
+
+    vocab = dm.get_vocab()
+    hparams = {
+        "vocab_size": len(vocab),
+        "max_seq_len": dm.get_max_seq_len(),
+        "input_modality": "image",
+        "attn_window": 10,
+    }
+    wdir = str(tmp_path / "weights")
+
+    model, multimodal = build_model(hparams)
+    t1 = Trainer(model, vocab, hparams, weights_dir=wdir,
+                 run_dir=str(tmp_path / "r1"), epochs=2, patience=100,
+                 check_val_every_n_epoch=1, bf16_compute=False,
+                 multimodal=multimodal)
+    t1.fit(dm)
+
+    # simulate a pre-crash best that is BETTER than anything a short resumed
+    # run will reach, so a best=inf reset would provably clobber it
+    best_hp = os.path.join(wdir, "best", "hparams.json")
+    meta = json.load(open(best_hp))
+    meta["val_sym-er"] = 0.001
+    json.dump(meta, open(best_hp, "w"))
+    sentinel = os.path.getmtime(os.path.join(wdir, "best", "hparams.json"))
+
+    model2, _ = build_model(hparams)
+    t2 = Trainer(model2, vocab, hparams, weights_dir=wdir,
+                 run_dir=str(tmp_path / "r2"), epochs=3, patience=100,
+                 check_val_every_n_epoch=1, bf16_compute=False,
+                 multimodal=multimodal)
+    t2.fit(dm)  # auto_resume=True default
+
+    rows = [json.loads(ln) for ln in open(os.path.join(str(tmp_path / "r2"), "metrics.jsonl"))
+            if ln.strip()]
+    resumed = [r for r in rows if "resumed_epoch" in r]
+    assert resumed and resumed[0]["resumed_epoch"] == 2
+    assert resumed[0]["resumed_best"] == pytest.approx(0.001)
+    # only epoch 3 trained in the resumed run
+    epochs_trained = sorted({r["epoch"] for r in rows if "train_loss" in r})
+    assert epochs_trained == [3]
+    # the artificially-better pre-crash best was NOT overwritten
+    meta_after = json.load(open(best_hp))
+    assert meta_after["val_sym-er"] == pytest.approx(0.001)
+    assert os.path.getmtime(os.path.join(wdir, "best", "hparams.json")) == sentinel
