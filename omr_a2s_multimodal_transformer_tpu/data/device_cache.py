@@ -24,8 +24,9 @@ the streaming loader remains the path for large/bucketed corpora.
 from __future__ import annotations
 
 import logging
+import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,13 @@ _IMAGE_KEYS = {"image": ("x",), "both": ("xi",), "audio": ()}
 
 # samples per preprocessing/transfer chunk while building the cache
 _CHUNK = 16
+
+# Per-buffer residency ceiling. The TPU compile path rejects gathers over
+# stacked buffers well above 2^32 bytes (measured on v5e: a 4.49 GB u8
+# stack compiles, a 6.53 GB one fails in the AOT compile helper), so keys
+# whose corpus stack exceeds this are split into row-contiguous SHARDS and
+# batch gathers select across them (bit-identical; see _take_sharded).
+_MAX_STACK_BYTES = int(os.environ.get("OMR_A2S_CACHE_MAX_STACK_BYTES", 4 << 30))
 
 
 def _single_bucket(spec) -> bool:
@@ -78,7 +86,10 @@ class DeviceCacheLoader:
         # one 16 GB chip. Verified EXACT during the build (see _build); the
         # dequantized batch equals the streaming loader's bit-for-bit.
         self.u8_keys = _IMAGE_KEYS.get(loader.ds.input_modality, ()) if store_u8 else ()
-        self._stacks: Dict[str, jax.Array] = {}
+        self.max_stack_bytes = _MAX_STACK_BYTES
+        # per key: list of (row_offset, device array) shards; one shard for
+        # keys under max_stack_bytes (the common case — single jnp.take)
+        self._stacks: Dict[str, List[Tuple[int, jax.Array]]] = {}
 
     def __len__(self) -> int:
         return len(self.loader)
@@ -88,7 +99,11 @@ class DeviceCacheLoader:
         return self.loader.ds
 
     def nbytes(self) -> int:
-        return sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in self._stacks.values())
+        return sum(
+            int(np.prod(v.shape)) * v.dtype.itemsize
+            for shards in self._stacks.values()
+            for _, v in shards
+        )
 
     def _build(self) -> None:
         ds = self.loader.ds
@@ -117,16 +132,46 @@ class DeviceCacheLoader:
         # Concatenate on the HOST and ship each key once: device-side chunk
         # copies + a device concatenate would hold ~2x the corpus in HBM at
         # the concatenate, OOMing builds that fit at steady state. Host RAM
-        # is the cheap side of this trade.
-        self._stacks = {
-            k: jnp.asarray(np.concatenate([c.pop(k) for c in host_chunks], axis=0))
-            for k in list(host_chunks[0])
-        }
+        # is the cheap side of this trade. Keys whose stack exceeds
+        # max_stack_bytes ship as several row-contiguous shards instead —
+        # one giant buffer fails TPU gather compilation (module docstring).
+        self._stacks = {}
+        for k in list(host_chunks[0]):
+            host = np.concatenate([c.pop(k) for c in host_chunks], axis=0)
+            row_bytes = max(1, int(np.prod(host.shape[1:])) * host.dtype.itemsize)
+            rows_per_shard = max(1, min(n, self.max_stack_bytes // row_bytes))
+            self._stacks[k] = [
+                (lo, jnp.asarray(host[lo : lo + rows_per_shard]))
+                for lo in range(0, n, rows_per_shard)
+            ]
         logger.info(
             "device cache: %d samples, %.1f MB resident (%s)",
             n, self.nbytes() / 2**20,
-            ", ".join(f"{k}:{v.dtype}{list(v.shape)}" for k, v in self._stacks.items()),
+            ", ".join(
+                f"{k}:{shards[0][1].dtype}[{n},{list(shards[0][1].shape[1:])}]"
+                + (f" x{len(shards)} shards" if len(shards) > 1 else "")
+                for k, shards in self._stacks.items()
+            ),
         )
+
+    @staticmethod
+    def _take_sharded(shards: List[Tuple[int, jax.Array]], idx: jax.Array) -> jax.Array:
+        """Batch gather across row-contiguous shards; bit-identical to a
+        jnp.take over the virtual concatenation. Out-of-shard rows are
+        clip-gathered then replaced via where, so every lane stays in
+        bounds and the select is exact for any dtype."""
+        if len(shards) == 1:
+            return jnp.take(shards[0][1], idx, axis=0)
+        out = None
+        for off, arr in shards:
+            local = jnp.clip(idx - off, 0, arr.shape[0] - 1)
+            cand = jnp.take(arr, local, axis=0)
+            if out is None:
+                out = cand
+                continue
+            mask = (idx >= off) & (idx < off + arr.shape[0])
+            out = jnp.where(mask.reshape(mask.shape + (1,) * (cand.ndim - 1)), cand, out)
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         if not self._stacks:
@@ -140,7 +185,7 @@ class DeviceCacheLoader:
             batches.pop()
         for b in batches:
             idx = jnp.asarray(b, dtype=jnp.int32)
-            out = {k: jnp.take(v, idx, axis=0) for k, v in self._stacks.items()}
+            out = {k: self._take_sharded(shards, idx) for k, shards in self._stacks.items()}
             for k in self.u8_keys:
                 if k in out:
                     # u8 -> float batch. In the bf16 compute path this is

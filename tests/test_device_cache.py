@@ -119,7 +119,7 @@ def test_store_u8_bit_identical_to_bf16_wire_cast(dm):
             np.testing.assert_array_equal(np.asarray(rb["xa"]).view(np.uint16),
                                           np.asarray(ub["xa"]).view(np.uint16))
     # residency really is uint8 (the point: 2x corpus per GB)
-    assert u8._stacks[img_key].dtype == jnp.uint8
+    assert all(arr.dtype == jnp.uint8 for _, arr in u8._stacks[img_key])
 
 
 def test_store_u8_rejects_non_k255_pixels(dm):
@@ -141,3 +141,22 @@ def test_store_u8_rejects_non_k255_pixels(dm):
     cached = DeviceCacheLoader(loader, cast_bf16=True, store_u8=True)
     with _pytest.raises(ValueError, match="store_u8"):
         next(iter(cached))
+
+
+def test_sharded_stacks_bit_identical(dm):
+    """Stacks above max_stack_bytes split into row-contiguous shards; the
+    cross-shard gather must stay bit-identical to the single-stack cache
+    (the TPU compile path rejects gathers over very large single buffers —
+    measured v5e boundary between 4.49 and 6.53 GB)."""
+    single = DeviceCacheLoader(dm.train_dataloader(), cast_bf16=False)
+    sharded = DeviceCacheLoader(dm.train_dataloader(), cast_bf16=False)
+    sharded.max_stack_bytes = 1  # force one row per shard (max sharding)
+    for _epoch in range(2):
+        sb = list(single)
+        cb = list(sharded)
+        assert len(sb) == len(cb)
+        for s, c in zip(sb, cb):
+            for k in s:
+                np.testing.assert_array_equal(np.asarray(s[k]), np.asarray(c[k]), err_msg=k)
+    assert all(len(sh) == len(sharded.ds) for sh in sharded._stacks.values())
+    assert all(len(sh) == 1 for sh in single._stacks.values())
