@@ -175,10 +175,12 @@ class DecoderLayer(nn.Module):
         return self.cross_attn.k_proj(memory), self.cross_attn.v_proj(memory)
 
     def step(self, x, pos, cache_k, cache_v, cross_k, cross_v, self_mask, mem_bias,
-             cross_k_scale=None, cross_v_scale=None):
+             cross_k_scale=None, cross_v_scale=None,
+             cross_k_tscale=None, cross_v_tscale=None):
         """One decode step. x: [B, 1, D]; self caches head-packed
         [B, cache_len, D]; cross_k/cross_v head-packed [B, S, D]
-        (int8 when cross_*_scale [B, D] are given).
+        (int8 when cross_*_scale [B, D] are given; int4 additionally
+        carries rank-1 per-token scales cross_*_tscale [B, S]).
 
         self_mask: [B?, cache_len] additive key bias over cached positions.
         mem_bias: [B, S] additive key bias (or None).
@@ -196,6 +198,7 @@ class DecoderLayer(nn.Module):
         h = attend_packed_single_query(
             q2[:, 0], cross_k, cross_v, self.n_heads, mem_bias,
             k_scale=cross_k_scale, v_scale=cross_v_scale,
+            k_tscale=cross_k_tscale, v_tscale=cross_v_tscale,
         )
         h = self.cross_attn.out_proj(h[:, None, :].astype(x.dtype))
         x = self.norm2(x + h)
@@ -343,11 +346,22 @@ class KernDecoder(nn.Module):
     def prefill(self, memory: jnp.ndarray) -> Dict[str, Any]:
         """Precompute per-layer cross-attention K/V from the memory.
 
-        cache_dtype="int8"/"int4": per-(batch, channel) symmetric
-        quantization; entries carry {"k","v","k_scale","v_scale"} and every
-        decode step reads 1/2 (int8) or 1/4 (int4) the bytes of bf16 (the
-        flagship decode bandwidth floor). int4 packs two values per byte
-        natively on TPU (XLA s4 tiling).
+        cache_dtype="int8": per-(batch, channel) symmetric quantization;
+        entries carry {"k","v","k_scale","v_scale"} and every decode step
+        reads 1/2 the bytes of bf16 (the flagship decode bandwidth floor).
+        SER-lossless at corpus scale (reports/cache_dtype_ser.json).
+
+        cache_dtype="int4": rank-1 two-sided symmetric quantization —
+        q = round(t / (s_c[b,d] * s_t[b,s])) with a per-channel scale
+        (channel max over positions) and a residual per-token scale (token
+        max over channels after channel equilibration). 7 levels per sign
+        cannot spend their range on one outlier position: channel-only
+        scales let a single position (notably PADDED memory columns, which
+        prefill cannot mask out) inflate a channel's scale for every other
+        position — measured +6.2 SER at corpus scale. Per-token scales give
+        every position full use of the s4 range; both folds stay O(S+D)
+        (see ops/attention.py:attend_packed_single_query). Packs two values
+        per byte natively on TPU (XLA s4 tiling).
         """
         if self.cache_dtype in ("int8", "int4"):
             qmax = 127.0 if self.cache_dtype == "int8" else 7.0
@@ -357,11 +371,21 @@ class KernDecoder(nn.Module):
                 entry = {}
                 for name, t in zip(("k", "v"), layer.cross_kv(memory)):
                     t = t.astype(jnp.float32)
-                    s = jnp.maximum(jnp.max(jnp.abs(t), axis=1), 1e-8) / qmax  # [B, D]
-                    entry[name] = (
-                        jnp.clip(jnp.round(t / s[:, None, :]), -qmax, qmax).astype(store)
-                    )
-                    entry[f"{name}_scale"] = s
+                    if self.cache_dtype == "int4":
+                        s_c = jnp.maximum(jnp.max(jnp.abs(t), axis=1), 1e-8)  # [B, D]
+                        t = t / s_c[:, None, :]
+                        s_t = jnp.maximum(jnp.max(jnp.abs(t), axis=2), 1e-8) / qmax  # [B, S]
+                        entry[name] = (
+                            jnp.clip(jnp.round(t / s_t[:, :, None]), -qmax, qmax).astype(store)
+                        )
+                        entry[f"{name}_scale"] = s_c
+                        entry[f"{name}_tscale"] = s_t
+                    else:
+                        s = jnp.maximum(jnp.max(jnp.abs(t), axis=1), 1e-8) / qmax  # [B, D]
+                        entry[name] = (
+                            jnp.clip(jnp.round(t / s[:, None, :]), -qmax, qmax).astype(store)
+                        )
+                        entry[f"{name}_scale"] = s
                 out[f"layer{i}"] = entry
             return out
         dtype = jnp.dtype(self.cache_dtype)
@@ -412,6 +436,7 @@ class KernDecoder(nn.Module):
             x, ck, cv = layer.step(
                 x, write_at, c["k"], c["v"], cr["k"], cr["v"], self_mask, mem_bias,
                 cross_k_scale=cr.get("k_scale"), cross_v_scale=cr.get("v_scale"),
+                cross_k_tscale=cr.get("k_tscale"), cross_v_tscale=cr.get("v_tscale"),
             )
             new_cache[f"layer{i}"] = {"k": ck, "v": cv}
         return self.out_layer(x)[:, 0, :], new_cache

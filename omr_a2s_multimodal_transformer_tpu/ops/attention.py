@@ -70,6 +70,8 @@ def attend_packed_single_query(
     mem_bias: Optional[jnp.ndarray] = None,  # [B, S] additive (f32)
     k_scale: Optional[jnp.ndarray] = None,  # [B, D] dequant scales (int8 KV)
     v_scale: Optional[jnp.ndarray] = None,  # [B, D]
+    k_tscale: Optional[jnp.ndarray] = None,  # [B, S] per-token scales (int4 KV)
+    v_tscale: Optional[jnp.ndarray] = None,  # [B, S]
 ) -> jnp.ndarray:
     """Single-query multi-head attention over head-packed K/V. Returns [B, D] f32.
 
@@ -91,6 +93,15 @@ def attend_packed_single_query(
     scales fold into the output after it, so the big arrays are read as
     int8 and converted in-register (XLA fuses the convert into the dot —
     measured 0.62 ms/step vs 1.19 bf16 at b8/S=12.7k/8-layers).
+
+    Rank-1 int4 (k_tscale/v_tscale additionally given): storage is
+    round(t / (s_c[d] * s_t[s])) with a per-channel AND a per-token scale.
+    Both folds stay off the big arrays: s_t(K) multiplies the [B, S, H]
+    logits elementwise, s_t(V) multiplies the softmax weights before the
+    PV dot. Per-token scales keep one outlier position (e.g. a padded
+    memory column, which prefill cannot mask) from inflating a channel's
+    scale for every position — the failure mode that cost channel-only
+    int4 +6.2 SER at corpus scale.
     """
     b, s, d = k_packed.shape
     dh = d // n_heads
@@ -104,9 +115,13 @@ def attend_packed_single_query(
     logits = jnp.einsum(
         "bsd,bdh->bsh", k_packed.astype(dt), qbd, preferred_element_type=jnp.float32
     ) * scale
+    if k_tscale is not None:
+        logits = logits * k_tscale.astype(jnp.float32)[:, :, None]
     if mem_bias is not None:
         logits = logits + mem_bias.astype(jnp.float32)[:, :, None]
     w = jax.nn.softmax(logits, axis=1)  # over S
+    if v_tscale is not None:
+        w = w * v_tscale.astype(jnp.float32)[:, :, None]
     o_full = jnp.einsum(
         "bsh,bsd->bhd", w.astype(dt), v_packed.astype(dt), preferred_element_type=jnp.float32
     )

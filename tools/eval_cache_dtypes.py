@@ -43,6 +43,7 @@ def main():
     p.add_argument("--dtypes", nargs="+", default=["float32", "bfloat16", "int8", "int4"])
     p.add_argument("--beams", nargs="+", type=int, default=[1])
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--out", default=os.path.join("reports", "cache_dtype_ser.json"))
     args = p.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -111,8 +112,8 @@ def main():
                 f"{r['cache_dtype']}_beam{r['beam_size']}": round(r[key] - ref[key], 3)
                 for r in rows
             }
-    out = os.path.join("reports", "cache_dtype_ser.json")
-    os.makedirs("reports", exist_ok=True)
+    out = args.out
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"report -> {out}")
