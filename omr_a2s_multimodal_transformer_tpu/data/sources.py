@@ -284,11 +284,40 @@ def render_score_image(transcript: str, h: int, w: int, style: str = "blob") -> 
     return img
 
 
-def render_score_audio(transcript: str, secs: float, sr: int = 22050) -> np.ndarray:
+def bands_tone_bin(voice: int, chord_i: int, rank: int, acc: int) -> int:
+    """STFT bin index of a note in the 'bands' audio style (see below).
+
+    Three disjoint 60-bin bands by simultaneity group (left voice / right
+    chord note 1 / right chord note 2); within a band, bin = 3*rank +
+    (acc+1). Injective over (group, rank, acc) and only one tone ever
+    sounds per band, so the per-band argmax bin IS the code."""
+    band = 15 + 60 * (0 if voice == 0 else 1 + min(chord_i, 1))
+    return band + 3 * rank + (acc + 1)
+
+
+def render_score_audio(transcript: str, secs: float, sr: int = 22050,
+                       style: str = "tones") -> np.ndarray:
     """Content-deterministic audio: each event occupies an equal time slot;
-    every note contributes a tone whose FREQUENCY encodes (voice, pitch
-    rank) and whose on-fraction of the slot encodes the duration class.
-    Barlines are a short broadband click."""
+    every note contributes a tone whose FREQUENCY encodes the note identity
+    and whose on-fraction of the slot encodes the duration class. Barlines
+    are a short broadband click.
+
+    style="tones" (default): musical mapping f0 = 110*2^(v + (rank +
+    0.5*acc)/12). LOSSY: (rank, acc=+1) aliases exactly with (rank+1,
+    acc=-1); the 17-rank span makes voice-1 notes alias voice-0 notes an
+    octave up; and low-pitch semitones (6.5 Hz at 110 Hz) fall under the
+    10.77 Hz bin width of the band-limited STFT (ops/stft.py) — a hard
+    information ceiling measured as audio-only SER ~45 at corpus scale.
+
+    style="bands": separable code. Simultaneity groups (left voice, right
+    chord note 1, right chord note 2) get disjoint 60-bin bands; within a
+    band each (rank, acc) maps to a unique EXACT bin-center frequency
+    (bin = band + 3*rank + acc+1, f = bin*sr/2048 matching ops/stft.py
+    N_FFT). A bin-centered tone under the periodic Hann window lands in
+    bins {k-1,k,k+1} only, and tones within a band are never simultaneous,
+    so the encoding is injective and exactly peak-decodable (see
+    tests/test_audio_bands.py roundtrip).
+    """
     n = int(sr * secs)
     t = np.arange(n) / sr
     wave = np.zeros(n, dtype=np.float32)
@@ -297,6 +326,7 @@ def render_score_audio(transcript: str, secs: float, sr: int = 22050) -> np.ndar
         return wave
     slot = secs / len(events)
     dur_to_frac = {2: 1.0, 4: 0.75, 8: 0.5, 16: 0.3}
+    bin_hz = sr / 2048.0  # ops/stft.py N_FFT; exact bin centers
     for e, (kind, payload) in enumerate(events):
         t0 = e * slot
         i0 = int(t0 * sr)
@@ -305,8 +335,11 @@ def render_score_audio(transcript: str, secs: float, sr: int = 22050) -> np.ndar
             wave[i0:i1] += 0.3 * np.sign(np.sin(2 * np.pi * 3000 * t[i0:i1])).astype(np.float32)
             continue
         for v, notes in enumerate(payload):
-            for dur, rank, acc in notes:
-                f0 = 110.0 * (2.0 ** (v + (rank + 0.5 * acc) / 12.0))
+            for ci, (dur, rank, acc) in enumerate(notes):
+                if style == "bands":
+                    f0 = bands_tone_bin(v, ci, rank, acc) * bin_hz
+                else:
+                    f0 = 110.0 * (2.0 ** (v + (rank + 0.5 * acc) / 12.0))
                 i1 = min(n, i0 + max(1, int(slot * dur_to_frac.get(dur, 0.5) * sr)))
                 wave[i0:i1] += 0.15 * np.sin(2 * np.pi * f0 * t[i0:i1]).astype(np.float32)
     return wave
@@ -330,6 +363,7 @@ class SyntheticSource:
         encoding: str = "kern",
         render_style: str = "blob",
         n_measures_range=None,
+        audio_style: str = "tones",
     ):
         self.n = n
         self.seed = seed
@@ -349,6 +383,9 @@ class SyntheticSource:
         # plateaus at val SER ~46-52 with the model never reading the
         # image — mispaired-image teacher-forced loss equals paired).
         self.n_measures_range = tuple(n_measures_range) if n_measures_range else None
+        # Audio encoding: "tones" (musical, aliasing-lossy) or "bands"
+        # (separable, exactly decodable) — see render_score_audio.
+        self.audio_style = audio_style
 
     def __len__(self) -> int:
         return self.n
@@ -379,7 +416,7 @@ class SyntheticSource:
         w = max(32, int(round(int(rng.integers(*self.img_width_range)) * scale)))
         img = render_score_image(transcript, h, w, style=self.render_style)
         secs = max(0.2, float(rng.uniform(*self.audio_seconds_range)) * scale)
-        wave = render_score_audio(transcript, secs)
+        wave = render_score_audio(transcript, secs, style=self.audio_style)
         return {
             "transcript": transcript,
             "image": Image.fromarray(img),

@@ -34,6 +34,7 @@ def main():
     p.add_argument("--n_measures", type=int, default=30)
     p.add_argument("--measures_range", nargs=2, type=int, default=None)
     p.add_argument("--render_style", default="blob", choices=["blob", "grand"])
+    p.add_argument("--audio_style", default="tones", choices=["tones", "bands"])
     p.add_argument("--input_modality", default="image", choices=["image", "audio", "both"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--beams", nargs="+", type=int, default=[1, 2, 4, 8])
@@ -55,7 +56,8 @@ def main():
                 "--ds_name", "synthetic",
                 "--synthetic_config", synth_cfg(args.train_n, args.eval_n, False,
                                                 args.n_measures, args.render_style,
-                                                measures_range=args.measures_range),
+                                                measures_range=args.measures_range,
+                                                audio_style=args.audio_style),
                 "--krn_encoding", "kern",
                 "--use_distorted_images",
                 "--cache_root", cache_root,

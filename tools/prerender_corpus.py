@@ -29,12 +29,14 @@ def main():
     p.add_argument("--n_measures", type=int, default=30)
     p.add_argument("--measures_range", nargs=2, type=int, default=None)
     p.add_argument("--render_style", default="grand")
+    p.add_argument("--audio_style", default="tones", choices=["tones", "bands"])
     p.add_argument("--img_height", type=int, default=361)
     p.add_argument("--splits", nargs="+", default=["train", "val", "test"])
     args = p.parse_args()
 
     cfg = json.loads(synth_cfg(args.train_n, args.eval_n, False, args.n_measures,
-                               args.render_style, args.img_height, args.measures_range))
+                               args.render_style, args.img_height, args.measures_range,
+                               args.audio_style))
     from omr_a2s_multimodal_transformer_tpu.data.frontends import (
         preprocess_audio, preprocess_image)
     from omr_a2s_multimodal_transformer_tpu.data.sources import make_source

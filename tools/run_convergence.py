@@ -32,7 +32,7 @@ from tools.run_real_shape_e2e import seed_caches  # noqa: E402
 
 
 def synth_cfg(n: int, n_eval: int, smoke: bool, n_measures: int = 30, render_style: str = "blob",
-              img_height: int = 361, measures_range=None) -> str:
+              img_height: int = 361, measures_range=None, audio_style: str = "tones") -> str:
     if smoke:
         return json.dumps({
             "n": n, "n_val": n_eval, "n_test": n_eval, "n_measures": 2,
@@ -52,6 +52,8 @@ def synth_cfg(n: int, n_eval: int, smoke: bool, n_measures: int = 30, render_sty
     }
     if measures_range:
         cfg["n_measures_range"] = list(measures_range)
+    if audio_style != "tones":
+        cfg["audio_style"] = audio_style
     return json.dumps(cfg)
 
 
@@ -102,6 +104,10 @@ def main():
                    help="measures per score; width/audio-length scale with it (30 = production)")
     p.add_argument("--render_style", default="blob", choices=["blob", "grand"],
                    help="image render style (sources.render_score_image)")
+    p.add_argument("--audio_style", default="tones", choices=["tones", "bands"],
+                   help="audio encoding (sources.render_score_audio): 'tones' is the "
+                        "musical-but-aliasing-lossy default; 'bands' is the separable "
+                        "exactly-decodable code")
     p.add_argument("--measures_range", nargs=2, type=int, default=None,
                    help="per-sample measure count [lo hi]; width/audio scale with it "
                         "(GRANDSTAFF-realistic mixed lengths — the alignment curriculum)")
@@ -122,7 +128,8 @@ def main():
     common = [
         "--ds_name", "synthetic",
         "--synthetic_config", synth_cfg(args.train_n, args.eval_n, args.smoke, args.n_measures,
-                                        args.render_style, args.img_height, args.measures_range),
+                                        args.render_style, args.img_height, args.measures_range,
+                                        args.audio_style),
         "--krn_encoding", "kern",
         # NOTE: --use_distorted_images is a dataset-variant selector for
         # HF/directory sources; SyntheticSource has a single clean render,
