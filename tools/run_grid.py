@@ -54,6 +54,7 @@ def main():
     p.add_argument("--measures_range", nargs=2, type=int, default=None,
                    help="per-sample measure-count range (varied lengths; GRANDSTAFF-like)")
     p.add_argument("--render_style", default="grand", choices=["blob", "grand"])
+    p.add_argument("--audio_style", default="tones", choices=["tones", "bands"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--check_val_every_n_epoch", type=int, default=10)
@@ -87,7 +88,7 @@ def main():
     cache_root = os.path.join(args.workdir, "grandstaff_cache")
     seed_caches(cache_root, smoke=args.smoke)
     cfg = synth_cfg(args.train_n, args.eval_n, args.smoke, args.n_measures, args.render_style,
-                    measures_range=args.measures_range)
+                    measures_range=args.measures_range, audio_style=args.audio_style)
     steps_per_epoch = max(1, args.train_n // args.batch)
 
     data_args = [
