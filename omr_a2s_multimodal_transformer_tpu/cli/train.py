@@ -29,6 +29,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--check_val_every_n_epoch", type=int, default=5)
     p.add_argument("--checkpoint_path", default="", help="resume from this checkpoint if it exists")
+    p.add_argument("--init_image_checkpoint", default="",
+                   help="warm-start the multimodal image_encoder (+decoder, see "
+                        "--init_decoder_from) from a trained unimodal image checkpoint; "
+                        "mixer params keep their fresh init (multimodal runs only)")
+    p.add_argument("--init_audio_checkpoint", default="",
+                   help="warm-start the multimodal audio_encoder from a trained unimodal "
+                        "audio checkpoint (multimodal runs only)")
+    p.add_argument("--init_decoder_from", default="image", choices=["image", "audio"],
+                   help="which unimodal checkpoint donates the shared decoder on warm start")
     p.add_argument("--teacher_forcing_prob", type=float, default=0.2)
     p.add_argument("--teacher_forcing_modality_prob", type=float, default=0.2)
     p.add_argument("--learning_rate", type=float, default=1e-4)
@@ -132,6 +141,16 @@ def main(argv=None) -> None:
         sample = next(iter(dm.train_dataloader()))
         trainer.init_state(sample)
         trainer.restore(args.checkpoint_path)
+    elif args.init_image_checkpoint or args.init_audio_checkpoint:
+        if not multimodal:
+            raise SystemExit("--init_{image,audio}_checkpoint require --input_modality both")
+        print(f"Warm start: image={args.init_image_checkpoint or '-'} "
+              f"audio={args.init_audio_checkpoint or '-'} decoder_from={args.init_decoder_from}")
+        sample = next(iter(dm.train_dataloader()))
+        trainer.init_state(sample)
+        trainer.warm_start_from_unimodal(
+            args.init_image_checkpoint or None, args.init_audio_checkpoint or None,
+            decoder_from=args.init_decoder_from)
 
     result = trainer.fit(dm)
     print(f"Best val_sym-er: {result['best_val_sym-er']:.4f} (epoch {result['best_epoch']})")

@@ -65,6 +65,54 @@ def split_multimodal_params(params: Dict) -> Tuple[Dict, Dict]:
     return jax.tree.map(lambda x: x, img), jax.tree.map(lambda x: x, audio)
 
 
+def stitch_multimodal_params(
+    mm_params: Dict,
+    img_params: Optional[Dict] = None,
+    audio_params: Optional[Dict] = None,
+    decoder_from: str = "image",
+) -> Dict:
+    """Inverse of ``split_multimodal_params``: warm-start a multimodal tree
+    from trained unimodal checkpoints.
+
+    ``image_encoder``/``audio_encoder`` are overwritten from the respective
+    unimodal trees' ``encoder``; the shared ``decoder`` comes from the leg
+    named by ``decoder_from``. Mixer-only params (``cross_attn``) keep their
+    fresh initialization — the reference trains multimodal models from
+    scratch (run_experiments.sh:40-61); this is an addition that shortcuts
+    the attention mixers' cross-modal alignment latch (see STATUS r4: attn
+    mixers plateau at the no-latch basin for 60 epochs from scratch).
+
+    Shapes are validated leaf-by-leaf; a unimodal checkpoint with a
+    different geometry fails loudly instead of training from a silently
+    mis-stitched tree.
+    """
+    if decoder_from not in ("image", "audio"):
+        raise ValueError(f"decoder_from must be 'image' or 'audio', got {decoder_from!r}")
+    out = dict(mm_params)
+
+    def _take(dst_key: str, src_tree: Dict, src_key: str, src_name: str) -> None:
+        ref = mm_params[dst_key]
+        new = src_tree[src_key]
+        if jax.tree.structure(ref) != jax.tree.structure(new):
+            raise ValueError(
+                f"stitch: {src_name}[{src_key!r}] tree structure does not match "
+                f"multimodal[{dst_key!r}]")
+        for p_ref, p_new in zip(jax.tree.leaves(ref), jax.tree.leaves(new)):
+            if p_ref.shape != p_new.shape:
+                raise ValueError(
+                    f"stitch: shape mismatch in {dst_key}: {p_ref.shape} vs {p_new.shape}")
+        out[dst_key] = jax.tree.map(lambda x: x, new)
+
+    if img_params is not None:
+        _take("image_encoder", img_params, "encoder", "image ckpt")
+    if audio_params is not None:
+        _take("audio_encoder", audio_params, "encoder", "audio ckpt")
+    dec_src = img_params if decoder_from == "image" else audio_params
+    if dec_src is not None:
+        _take("decoder", dec_src, "decoder", f"{decoder_from} ckpt")
+    return out
+
+
 def save_split_checkpoints(ckpt_path: str, out_prefix: Optional[str] = None) -> Tuple[str, str]:
     """Load a multimodal checkpoint and write two unimodal ones
     ('<ckpt>_only_image_distorted', '<ckpt>_only_audio' — reference naming)."""

@@ -195,6 +195,32 @@ class Trainer:
         else:
             self.state = self.state.replace(params=self._reshard(params))
 
+    def warm_start_from_unimodal(
+        self,
+        image_ckpt: Optional[str] = None,
+        audio_ckpt: Optional[str] = None,
+        decoder_from: str = "image",
+    ) -> None:
+        """Overwrite the freshly-initialized multimodal encoders/decoder with
+        trained unimodal checkpoints (ckpt_lib.stitch_multimodal_params);
+        mixer params (cross_attn) keep their fresh init and the optimizer
+        restarts from step 0. Call after init_state, before fit."""
+        assert self.state is not None, "init_state first"
+        assert self.multimodal, "warm start targets the multimodal model"
+
+        def _load(path):
+            if not path:
+                return None
+            restored = ckpt_lib.restore_checkpoint(path)
+            params = restored["params"] if "params" in restored else restored
+            return jax.tree.map(jnp.asarray, params)
+
+        stitched = ckpt_lib.stitch_multimodal_params(
+            self.state.params, _load(image_ckpt), _load(audio_ckpt), decoder_from)
+        self.state = TrainState.create(self._reshard(stitched), self.tx)
+        self.logger.log({"warm_start_image": image_ckpt or "", "warm_start_audio": audio_ckpt or "",
+                         "warm_start_decoder_from": decoder_from}, step=0, quiet=False)
+
     # ------------------------------------------------------------------ train
     # f32 input tensors the bf16 train step downcasts on-device anyway;
     # casting them on the HOST first halves host->device bytes (the training

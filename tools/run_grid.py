@@ -75,6 +75,15 @@ def main():
                    help="skip training any leg whose best checkpoint already exists "
                         "(e.g. an image leg pre-seeded from a prior convergence run "
                         "on the identical corpus)")
+    p.add_argument("--warm_start_mixers", action="store_true",
+                   help="initialize mixer legs' encoders+decoder from the trained "
+                        "unimodal image/audio leg checkpoints (cross_attn stays fresh); "
+                        "shortcuts the cross-modal alignment latch that keeps attention "
+                        "mixers in the no-latch basin for 60 epochs from scratch")
+    p.add_argument("--leg_suffix", default="",
+                   help="suffix appended to mixer leg names in workdir paths and the "
+                        "report (e.g. '_warm' to train warm-started legs beside "
+                        "from-scratch ones)")
     p.add_argument("--smoke", action="store_true", help="tiny shapes, CPU plumbing check")
     p.add_argument("--out", default="reports/grid_r04.json")
     args = p.parse_args()
@@ -127,11 +136,12 @@ def main():
     # ---------------------------------------------------------------- legs
     for leg in args.legs:
         modality, mixer = leg_spec(leg)
+        name = leg + (args.leg_suffix if mixer else "")
         t0 = time.time()
-        if args.reuse_existing and os.path.exists(best_ckpt(leg)):
-            print(f"\n=== {leg}: reusing existing checkpoint ===", flush=True)
+        if args.reuse_existing and os.path.exists(best_ckpt(name)):
+            print(f"\n=== {name}: reusing existing checkpoint ===", flush=True)
         elif not args.skip_training:
-            print(f"\n=== train {leg} ({args.epochs} epochs) ===", flush=True)
+            print(f"\n=== train {name} ({args.epochs} epochs) ===", flush=True)
             argv = data_args + [
                 "--keep_cache",
                 "--input_modality", modality,
@@ -149,23 +159,36 @@ def main():
                 "--epochs", str(args.epochs),
                 "--patience", "1000000",
                 "--check_val_every_n_epoch", str(args.check_val_every_n_epoch),
-                "--weights_dir", os.path.join(args.workdir, "weights", leg),
-                "--run_dir", os.path.join(args.workdir, "runs", leg),
+                "--weights_dir", os.path.join(args.workdir, "weights", name),
+                "--run_dir", os.path.join(args.workdir, "runs", name),
                 "--use_flash_cross", "--remat", "--device_cache", "--device_cache_u8",
             ]
             if mixer:
                 argv += ["--mixer_type", mixer]
+                if args.warm_start_mixers:
+                    img_ck, aud_ck = best_ckpt("image"), best_ckpt("audio")
+                    if not (os.path.exists(img_ck) and os.path.exists(aud_ck)):
+                        raise SystemExit("--warm_start_mixers needs trained image+audio legs "
+                                         f"({img_ck}, {aud_ck})")
+                    # the decoder donor matches the mixer's memory CONTENT:
+                    # attn_audio memories are audio values (at image query
+                    # positions), attn_img the reverse; concat/attn_both carry
+                    # both — the stronger image decoder donates.
+                    argv += ["--init_image_checkpoint", img_ck,
+                             "--init_audio_checkpoint", aud_ck,
+                             "--init_decoder_from",
+                             "audio" if mixer == "attn_audio" else "image"]
             train.main(argv)
-        traj = read_trajectory(os.path.join(args.workdir, "runs", leg))
+        traj = read_trajectory(os.path.join(args.workdir, "runs", name))
         best_val = min((r.get("val_sym-er", 1e9) for r in traj), default=None)
-        test_m = test_of_best(leg, modality)
-        report["legs"][leg] = {
+        test_m = test_of_best(name, modality)
+        report["legs"][name] = {
             "modality": modality, "mixer": mixer,
             "best_val_sym-er": best_val,
             "trajectory": traj, **test_m,
             "wall_s": round(time.time() - t0, 1),
         }
-        print(json.dumps({k: v for k, v in report["legs"][leg].items() if k != "trajectory"}),
+        print(json.dumps({k: v for k, v in report["legs"][name].items() if k != "trajectory"}),
               flush=True)
         _write(report, args.out)
 
