@@ -23,6 +23,13 @@ from omr_a2s_multimodal_transformer_tpu.serving import TranscriptionServer, serv
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint_path", required=True, help="orbax checkpoint dir")
+    p.add_argument("--audio_checkpoint_path", default="",
+                   help="serve weighted late fusion: --checkpoint_path is the image "
+                        "model, this the audio model; requests are (image, wave) pairs "
+                        "(HTTP: .npz with arrays 'image' and 'wave')")
+    p.add_argument("--alpha", type=float, default=0.5,
+                   help="fusion mix weight: alpha*softmax(img) + (1-alpha)*softmax(audio); "
+                        "0.5 is the grid-measured best (STATUS r4)")
     p.add_argument("--vocab_path", required=True, help="vocabs/ar_w2i_<enc>.json")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
@@ -59,11 +66,23 @@ def main(argv=None) -> None:
                          "checkpoint first (cli.split_ckpt)")
     vocab = Vocabulary.load(args.vocab_path)
     kw = {}
-    if modality == "image":
+    if args.audio_checkpoint_path:
+        if modality != "image":
+            raise SystemExit("fused serving: --checkpoint_path must be the IMAGE model "
+                             f"(got input_modality={modality!r})")
+        audio_model, audio_params, ahp, amulti = common.build_from_checkpoint(
+            args.audio_checkpoint_path, hparams_override={"cache_dtype": args.cache_dtype})
+        if amulti or ahp.get("input_modality") != "audio":
+            raise SystemExit("fused serving: --audio_checkpoint_path must be a unimodal "
+                             "audio checkpoint")
+        modality = "fused"
+        kw.update(audio_model=audio_model, audio_params={"params": audio_params},
+                  alpha=args.alpha)
+    if modality in ("image", "fused"):
         kw["image_height"] = args.image_height
         kw["image_widths"] = [int(w) for w in args.image_widths.split(",")]
         kw["img_height"] = args.img_height
-    else:
+    if modality in ("audio", "fused"):
         kw["audio_samples"] = [int(float(s) * 22050) for s in args.audio_seconds.split(",")]
     server = TranscriptionServer(
         model, {"params": params}, modality, vocab=vocab,

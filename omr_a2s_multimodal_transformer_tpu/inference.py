@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from omr_a2s_multimodal_transformer_tpu.ops.image import preprocess_image_batch
 from omr_a2s_multimodal_transformer_tpu.ops.stft import HOP_LENGTH, NUM_FREQ_BINS, log_spectrogram
-from omr_a2s_multimodal_transformer_tpu.training.decode import greedy_decode_fn
+from omr_a2s_multimodal_transformer_tpu.training.decode import greedy_decode_fn, weighted_decode_fn
 
 
 def make_image_transcriber(
@@ -64,5 +64,32 @@ def make_multimodal_transcriber(
         frames = 1 + n_samples // HOP_LENGTH
         hwa = jnp.stack([jnp.full_like(frames, NUM_FREQ_BINS), frames], axis=1)
         return decode(params, xi, hwi, xa, hwa)
+
+    return transcribe
+
+
+def make_fused_transcriber(
+    img_model, audio_model, sos_id: int, eos_id: int, img_height: Optional[int] = None
+) -> Callable:
+    """Weighted late-fusion serving path: two unimodal models decoded in
+    lockstep, next-token dist = alpha*softmax(img) + (1-alpha)*softmax(audio)
+    (reference weighted_multimodal/test.py:21-70 — there an offline eval
+    loop; here one jitted preprocess+encode+decode program).
+
+    f(img_params, audio_params, raw_img_u8 [B,H,W], img_hw [B,2],
+      wave [B,N] f32, n_samples [B], alpha) -> (tokens [B,L], scores).
+    alpha is a traced scalar: one compiled program serves every mix weight.
+    """
+    decode = weighted_decode_fn(
+        img_model, audio_model, img_model.max_seq_len, sos_id, eos_id)
+
+    @jax.jit
+    def transcribe(img_params, audio_params, raw_img, img_hw, wave, n_samples, alpha):
+        xi, hwi = preprocess_image_batch(raw_img, img_hw, target_height=img_height)
+        spec = log_spectrogram(wave, n_samples)
+        xa = spec[..., None]
+        frames = 1 + n_samples // HOP_LENGTH
+        hwa = jnp.stack([jnp.full_like(frames, NUM_FREQ_BINS), frames], axis=1)
+        return decode(img_params, audio_params, xi, hwi, xa, hwa, alpha)
 
     return transcribe

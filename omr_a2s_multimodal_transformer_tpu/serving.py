@@ -40,6 +40,7 @@ import numpy as np
 from omr_a2s_multimodal_transformer_tpu.data.collate import round_up
 from omr_a2s_multimodal_transformer_tpu.inference import (
     make_audio_transcriber,
+    make_fused_transcriber,
     make_image_transcriber,
 )
 from omr_a2s_multimodal_transformer_tpu.ops.stft import HOP_LENGTH
@@ -55,7 +56,7 @@ def _next_pow2(n: int) -> int:
 
 @dataclass
 class _Request:
-    payload: np.ndarray  # [H, W] uint8 image or [N] float32 waveform
+    payload: object  # [H, W] u8 image, [N] f32 waveform, or an (image, wave) pair
     future: Future = field(default_factory=Future)
     t_submit: float = field(default_factory=time.perf_counter)
 
@@ -71,10 +72,18 @@ class Result:
 
 
 class TranscriptionServer:
-    """Dynamic-batching server over one unimodal model.
+    """Dynamic-batching server over one unimodal model, or over a weighted
+    late-fusion pair.
 
     modality 'image': submit [H, W] uint8 arrays.
     modality 'audio': submit [N] float32 waveforms at 22.05 kHz.
+    modality 'fused': submit ([H, W] uint8 image, [N] float32 waveform)
+      pairs; decoding runs the two unimodal models in lockstep with
+      next-token dist = alpha*softmax(img) + (1-alpha)*softmax(audio) —
+      the best-measured system in the trained experiment grid
+      (STATUS: weighted a=0.5 beats both unimodals). Requires
+      ``audio_model``/``audio_params`` plus BOTH bucket ladders; requests
+      are grouped by the (image-width, audio-samples) bucket pair.
     """
 
     def __init__(
@@ -91,8 +100,11 @@ class TranscriptionServer:
         image_widths: Optional[Sequence[int]] = None,
         audio_samples: Optional[Sequence[int]] = None,
         img_height: Optional[int] = None,
+        audio_model=None,
+        audio_params=None,
+        alpha: float = 0.5,
     ):
-        assert modality in ("image", "audio")
+        assert modality in ("image", "audio", "fused")
         if vocab is not None:
             sos_id = vocab.sos_id if sos_id is None else sos_id
             eos_id = vocab.eos_id if eos_id is None else eos_id
@@ -103,17 +115,26 @@ class TranscriptionServer:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.params = params
-        if modality == "image":
-            self._transcribe = make_image_transcriber(model, sos_id, eos_id, img_height=img_height)
+        if modality in ("image", "fused"):
             assert image_height and image_widths, "image serving needs a bucket ladder"
             self.image_height = int(image_height)
             self.image_widths = tuple(sorted(int(w) for w in image_widths))
-        else:
-            self._transcribe = make_audio_transcriber(model, sos_id, eos_id)
+        if modality in ("audio", "fused"):
             assert audio_samples, "audio serving needs a sample-count bucket ladder"
             # STFT frame counts must land on the model's width buckets, so
             # round sample buckets up to whole hops.
             self.audio_samples = tuple(sorted(round_up(int(n), HOP_LENGTH) for n in audio_samples))
+        if modality == "image":
+            self._transcribe = make_image_transcriber(model, sos_id, eos_id, img_height=img_height)
+        elif modality == "audio":
+            self._transcribe = make_audio_transcriber(model, sos_id, eos_id)
+        else:
+            assert audio_model is not None and audio_params is not None, \
+                "fused serving needs audio_model/audio_params beside the image model"
+            self.audio_params = audio_params
+            self.alpha = float(alpha)
+            self._transcribe = make_fused_transcriber(
+                model, audio_model, sos_id, eos_id, img_height=img_height)
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._stats_lock = threading.Lock()
         # Serializes submit vs stop: without it, a submit that passes the
@@ -128,23 +149,35 @@ class TranscriptionServer:
 
     # ------------------------------------------------------------- client API
 
-    def submit(self, payload: np.ndarray) -> "Future[Result]":
-        """Enqueue one raw sample; returns a Future[Result]."""
+    def _check_image(self, img) -> np.ndarray:
+        img = np.asarray(img)
+        assert img.ndim == 2, f"image payload must be [H, W], got {img.shape}"
+        if img.shape[0] > self.image_height or img.shape[1] > self.image_widths[-1]:
+            raise ValueError(f"image {img.shape} exceeds the largest bucket "
+                             f"({self.image_height}x{self.image_widths[-1]})")
+        return img.astype(np.uint8)
+
+    def _check_wave(self, wave) -> np.ndarray:
+        wave = np.asarray(wave)
+        assert wave.ndim == 1, f"audio payload must be [N], got {wave.shape}"
+        if wave.shape[0] > self.audio_samples[-1]:
+            raise ValueError(f"waveform of {wave.shape[0]} samples exceeds the largest "
+                             f"bucket ({self.audio_samples[-1]})")
+        return wave.astype(np.float32)
+
+    def submit(self, payload) -> "Future[Result]":
+        """Enqueue one raw sample ([H,W] u8 image / [N] f32 waveform /
+        an (image, waveform) pair for 'fused'); returns a Future[Result]."""
         if self._stopped:
             raise RuntimeError("server is stopped")
-        payload = np.asarray(payload)
         if self.modality == "image":
-            assert payload.ndim == 2, f"image payload must be [H, W], got {payload.shape}"
-            if payload.shape[0] > self.image_height or payload.shape[1] > self.image_widths[-1]:
-                raise ValueError(f"image {payload.shape} exceeds the largest bucket "
-                                 f"({self.image_height}x{self.image_widths[-1]})")
-            payload = payload.astype(np.uint8)
+            payload = self._check_image(payload)
+        elif self.modality == "audio":
+            payload = self._check_wave(payload)
         else:
-            assert payload.ndim == 1, f"audio payload must be [N], got {payload.shape}"
-            if payload.shape[0] > self.audio_samples[-1]:
-                raise ValueError(f"waveform of {payload.shape[0]} samples exceeds the largest "
-                                 f"bucket ({self.audio_samples[-1]})")
-            payload = payload.astype(np.float32)
+            assert isinstance(payload, (tuple, list)) and len(payload) == 2, \
+                "fused payload must be an (image, waveform) pair"
+            payload = (self._check_image(payload[0]), self._check_wave(payload[1]))
         req = _Request(payload)
         with self._lifecycle_lock:
             if self._stopped:
@@ -174,14 +207,20 @@ class TranscriptionServer:
     def batch_stats(self) -> Dict[str, int]:
         """(bucket, batch) -> number of device calls issued (observability)."""
         with self._stats_lock:
-            return {f"bucket{k[0]}_b{k[1]}": v for k, v in self._batches.items()}
+            def _name(bucket):  # fused buckets are (img_width, audio_samples) pairs
+                return "x".join(map(str, bucket)) if isinstance(bucket, tuple) else str(bucket)
+            return {f"bucket{_name(k[0])}_b{k[1]}": v for k, v in self._batches.items()}
 
     # ---------------------------------------------------------------- worker
 
-    def _bucket_of(self, payload: np.ndarray) -> int:
+    def _bucket_of(self, payload):
         if self.modality == "image":
             w = payload.shape[1]
             return next(x for x in self.image_widths if x >= w)
+        if self.modality == "fused":
+            img, wave = payload
+            return (next(x for x in self.image_widths if x >= img.shape[1]),
+                    next(x for x in self.audio_samples if x >= wave.shape[0]))
         n = payload.shape[0]
         return next(x for x in self.audio_samples if x >= n)
 
@@ -218,10 +257,25 @@ class TranscriptionServer:
                     if not r.future.done():
                         r.future.set_exception(e)
 
-    def _run_group(self, bucket: int, reqs: List[_Request]) -> None:
+    def _run_group(self, bucket, reqs: List[_Request]) -> None:
         n = len(reqs)
         b = min(self.max_batch, _next_pow2(n))  # pad to a batch bucket
-        if self.modality == "image":
+        if self.modality == "fused":
+            wb, ab = bucket
+            raw = np.full((b, self.image_height, wb), 255, np.uint8)  # white
+            hw = np.ones((b, 2), np.int32)
+            wave = np.zeros((b, ab), np.float32)  # silence
+            ns = np.full((b,), HOP_LENGTH, np.int32)
+            for i, r in enumerate(reqs):
+                img, wv = r.payload
+                h, w = img.shape
+                raw[i, :h, :w] = img
+                hw[i] = (h, w)
+                wave[i, : wv.shape[0]] = wv
+                ns[i] = wv.shape[0]
+            tokens, scores = self._transcribe(
+                self.params, self.audio_params, raw, hw, wave, ns, self.alpha)
+        elif self.modality == "image":
             raw = np.full((b, self.image_height, bucket), 255, np.uint8)  # white
             hw = np.ones((b, 2), np.int32)
             for i, r in enumerate(reqs):
@@ -252,6 +306,7 @@ def serve_http(server: TranscriptionServer, host: str = "127.0.0.1", port: int =
     """Minimal stdlib HTTP front. POST /transcribe with a raw .npy body
     ([H,W] uint8 image or [N] float32 waveform, matching the server's
     modality) returns JSON {token_ids, tokens, scores, latency_s}.
+    A 'fused' server takes an .npz body with arrays 'image' and 'wave'.
     GET /healthz returns batch stats. Returns the HTTPServer (caller owns
     shutdown); serve_forever runs in a daemon thread."""
     import io
@@ -282,6 +337,8 @@ def serve_http(server: TranscriptionServer, host: str = "127.0.0.1", port: int =
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 arr = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
+                if server.modality == "fused":
+                    arr = (arr["image"], arr["wave"])  # .npz pair
                 res = server.transcribe(arr)
                 self._json(200, {
                     "token_ids": res.token_ids,

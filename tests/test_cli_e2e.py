@@ -156,6 +156,40 @@ def test_transcribe_cli(workspace, unimodal_ckpts, tmp_path, capsys):
     assert content.startswith("**kern")
 
 
+def test_transcribe_cli_fused(workspace, unimodal_ckpts, tmp_path):
+    """Weighted late-fusion serving path: paired (image, wav) files -> .krn,
+    driven by both unimodal checkpoints in one lockstep decode."""
+    tmp, cache = workspace
+    img_ckpt, audio_ckpt = unimodal_ckpts
+    from scipy.io import wavfile
+
+    from omr_a2s_multimodal_transformer_tpu.data.sources import SyntheticSource
+
+    src = SyntheticSource(n=2, seed=1, img_height_range=(32, 33), img_width_range=(64, 96),
+                          audio_seconds_range=(0.3, 0.5), n_measures=1)
+    in_dir = tmp_path / "pairs"
+    in_dir.mkdir()
+    for i in range(2):
+        s = src[i]
+        s["image"].save(str(in_dir / f"score{i}.png"))
+        wavfile.write(str(in_dir / f"score{i}.wav"), s["audio"]["sampling_rate"],
+                      s["audio"]["array"])
+
+    from omr_a2s_multimodal_transformer_tpu.cli import transcribe
+
+    vocab_path = os.path.join(cache, "vocabs", "ar_w2i_kern.json")
+    out_dir = str(tmp_path / "out_fused")
+    transcribe.main([
+        "--checkpoint_path", img_ckpt, "--audio_checkpoint_path", audio_ckpt,
+        "--vocab_path", vocab_path,
+        "--inputs", str(in_dir / "*.png"), "--audio_inputs", str(in_dir / "*.wav"),
+        "--alpha", "0.5", "--out_dir", out_dir,
+    ])
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["score0.krn", "score1.krn"]
+    assert open(os.path.join(out_dir, "score0.krn")).read().startswith("**kern")
+
+
 def test_all_cli_parsers_construct():
     """Every CLI's argparse parser must build (a duplicate-flag regression
     between common.add_runtime_args and a CLI's own args crashed cli.train

@@ -156,3 +156,122 @@ def test_http_front():
     finally:
         httpd.shutdown()
         server.stop()
+
+
+# ------------------------------------------------------------- fused serving
+
+
+@functools.lru_cache(maxsize=1)
+def _audio_model():
+    from omr_a2s_multimodal_transformer_tpu.ops.stft import log_spectrogram
+
+    m = UnimodalTransformer(vocab_size=V, max_seq_len=MAXLEN)
+    wave = jnp.asarray(np.random.default_rng(7).standard_normal((2, 4096)), jnp.float32)
+    spec = log_spectrogram(wave, jnp.asarray([4096, 2048], jnp.int32))
+    params = jax.jit(m.init)(
+        {"params": jax.random.PRNGKey(1)}, spec[..., None], None,
+        jnp.ones((2, 4), jnp.int32),
+    )
+    return m, params
+
+
+def _make_fused_server(**kw):
+    mi, pi = _img_model()
+    ma, pa = _audio_model()
+    kw.setdefault("max_batch", 4)
+    kw.setdefault("max_wait_ms", 20.0)
+    kw.setdefault("alpha", 0.5)
+    server = TranscriptionServer(
+        mi, pi, "fused", vocab=_vocab(),
+        image_height=32, image_widths=(48, 96), audio_samples=(2048, 4096),
+        audio_model=ma, audio_params=pa, **kw,
+    )
+    return server, (mi, pi), (ma, pa)
+
+
+def test_fused_server_matches_direct_weighted_decode():
+    from omr_a2s_multimodal_transformer_tpu.inference import make_fused_transcriber
+
+    # Long batching window so both requests land in one b=2 device call.
+    server, (mi, pi), (ma, pa) = _make_fused_server(max_wait_ms=1000.0)
+    try:
+        rng = np.random.default_rng(4)
+        pairs = [
+            (_image(rng, 30, 40), rng.standard_normal(1500).astype(np.float32)),
+            (_image(rng, 32, 48), rng.standard_normal(2048).astype(np.float32)),
+        ]
+        futs = [server.submit(p) for p in pairs]
+        results = [f.result(timeout=240) for f in futs]
+
+        # Direct call at the server's padded group shape (bucket (48, 2048), b=2).
+        direct = make_fused_transcriber(mi, ma, server.vocab.sos_id, server.vocab.eos_id)
+        raw = np.full((2, 32, 48), 255, np.uint8)
+        hw = np.ones((2, 2), np.int32)
+        wave = np.zeros((2, 2048), np.float32)
+        ns = np.zeros((2,), np.int32)
+        for i, (im, wv) in enumerate(pairs):
+            raw[i, : im.shape[0], : im.shape[1]] = im
+            hw[i] = im.shape
+            wave[i, : wv.shape[0]] = wv
+            ns[i] = wv.shape[0]
+        tokens, _ = direct(pi, pa, jnp.asarray(raw), jnp.asarray(hw),
+                           jnp.asarray(wave), jnp.asarray(ns), 0.5)
+        tokens = np.asarray(tokens)
+        for i in range(2):
+            row = tokens[i]
+            hits = np.nonzero(row == server.vocab.eos_id)[0]
+            end = int(hits[0]) + 1 if len(hits) else MAXLEN
+            assert results[i].token_ids == row[:end].tolist()
+        stats = server.batch_stats()
+        assert any(k.startswith("bucket48x2048") for k in stats), stats
+    finally:
+        server.stop()
+
+
+def test_fused_alpha_changes_decode():
+    """alpha=1 must reduce to the image-only decode path (softmax mix with a
+    zero audio weight), and a malformed payload is rejected."""
+    server, (mi, pi), _ = _make_fused_server()
+    try:
+        with pytest.raises(AssertionError):
+            server.submit(np.zeros((32, 40), np.uint8))  # not a pair
+        with pytest.raises(ValueError):
+            server.submit((np.zeros((32, 40), np.uint8), np.zeros(9000, np.float32)))
+    finally:
+        server.stop()
+
+    server1, _, _ = _make_fused_server(alpha=1.0)
+    try:
+        rng = np.random.default_rng(5)
+        img = _image(rng, 32, 48)
+        wave = rng.standard_normal(2048).astype(np.float32)
+        fused_ids = server1.transcribe((img, wave), timeout=240).token_ids
+    finally:
+        server1.stop()
+    img_server, _, _ = _make_server()
+    try:
+        img_ids = img_server.transcribe(img, timeout=240).token_ids
+    finally:
+        img_server.stop()
+    assert fused_ids == img_ids
+
+
+def test_http_front_fused_npz():
+    server, _, _ = _make_fused_server()
+    httpd = serve_http(server, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    try:
+        rng = np.random.default_rng(6)
+        img = _image(rng, 28, 36)
+        wave = rng.standard_normal(1024).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, image=img, wave=wave)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=240) as resp:
+            out = json.loads(resp.read())
+        assert out["token_ids"] == server.transcribe((img, wave)).token_ids
+    finally:
+        httpd.shutdown()
+        server.stop()

@@ -6,7 +6,7 @@ shapes (vocab 6,997; image 361x4412 -> L=1268 full decode; audio
 worst-case length — latencies below are ceilings, not averages over
 early-exit lengths.
 
-Usage: python tools/bench_serve.py [image|audio|all] [--clients N]
+Usage: python tools/bench_serve.py [image|audio|fused|all] [--clients N]
        [--requests N] [--max_batch N] [--cache_dtype int8|bfloat16]
 Emits one JSON line per modality:
   {"metric": "serve_image", "p50_ms": ..., "p99_ms": ..., "samples_per_sec": ...}
@@ -24,14 +24,11 @@ sys.path.insert(0, ".")
 import numpy as np  # noqa: E402
 
 
-def build_server(modality: str, max_batch: int, max_wait_ms: float, cache_dtype: str):
+def _build_one(modality: str, cache_dtype: str):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_default_prng_impl", "rbg")
     from omr_a2s_multimodal_transformer_tpu.models import build_model
-    from omr_a2s_multimodal_transformer_tpu.serving import TranscriptionServer
 
     hp = {
         "vocab_size": 6997,
@@ -49,11 +46,30 @@ def build_server(modality: str, max_batch: int, max_wait_ms: float, cache_dtype:
     params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, x, None, jnp.ones((1, 4), jnp.int32)
     )
-    kw = (
-        dict(image_height=368, image_widths=(2208, 4416))
-        if modality == "image"
-        else dict(audio_samples=(206848, 413696))  # ~404 / ~808 frames
-    )
+    return model, params
+
+
+def build_server(modality: str, max_batch: int, max_wait_ms: float, cache_dtype: str):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_default_prng_impl", "rbg")
+    from omr_a2s_multimodal_transformer_tpu.serving import TranscriptionServer
+
+    kw = {}
+    if modality == "fused":
+        model, params = _build_one("image", cache_dtype)
+        audio_model, audio_params = _build_one("audio", cache_dtype)
+        kw = dict(image_height=368, image_widths=(2208, 4416),
+                  audio_samples=(206848, 413696),
+                  audio_model=audio_model, audio_params=audio_params, alpha=0.5)
+    else:
+        model, params = _build_one(modality, cache_dtype)
+        kw = (
+            dict(image_height=368, image_widths=(2208, 4416))
+            if modality == "image"
+            else dict(audio_samples=(206848, 413696))  # ~404 / ~808 frames
+        )
     # eos out of vocab -> full worst-case decode every request
     return TranscriptionServer(
         model, params, modality, sos_id=1, eos_id=6997,
@@ -62,6 +78,8 @@ def build_server(modality: str, max_batch: int, max_wait_ms: float, cache_dtype:
 
 
 def make_payload(modality: str, rng: np.random.Generator):
+    if modality == "fused":
+        return (make_payload("image", rng), make_payload("audio", rng))
     if modality == "image":
         h = int(rng.integers(300, 362))
         w = int(rng.integers(3000, 4413))
@@ -123,7 +141,7 @@ def run_bench(modality: str, clients: int, requests_per_client: int,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("mode", nargs="?", default="all", choices=["image", "audio", "all"])
+    p.add_argument("mode", nargs="?", default="all", choices=["image", "audio", "fused", "all"])
     p.add_argument("--clients", type=int, default=16)
     p.add_argument("--requests", type=int, default=4, help="per client")
     p.add_argument("--max_batch", type=int, default=8)
