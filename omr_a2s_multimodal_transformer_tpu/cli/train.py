@@ -25,6 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_window", type=int, default=-1)
     p.add_argument("--mixer_type", default=None,
                    choices=[None, "concat", "attn_img", "attn_audio", "attn_both"])
+    p.add_argument("--mixer_residual", action="store_true",
+                   help="attention mixers emit query + CrossAttn(query, kv) instead of the "
+                        "reference's raw MHA output (which starts as a no-signal random "
+                        "projection and measures as a no-latch basin — STATUS r4)")
     p.add_argument("--epochs", type=int, default=1000)
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--check_val_every_n_epoch", type=int, default=5)
@@ -94,6 +98,7 @@ def main(argv=None) -> None:
         "max_seq_len": dm.get_max_seq_len(),
         "input_modality": args.input_modality,
         "mixer_type": args.mixer_type,
+        "mixer_residual": args.mixer_residual,
         "attn_window": args.attn_window,
         "encoder_dropout": args.encoder_dropout,
         "decoder_dropout": args.decoder_dropout,

@@ -36,7 +36,9 @@ def build_model(hparams: Dict, mesh=None) -> Tuple[object, bool]:
     )
     if hparams["input_modality"] == "both":
         return (
-            MultimodalTransformer(mixer_type=hparams.get("mixer_type") or "concat", **common),
+            MultimodalTransformer(mixer_type=hparams.get("mixer_type") or "concat",
+                                  mixer_residual=hparams.get("mixer_residual", False),
+                                  **common),
             True,
         )
     return UnimodalTransformer(**common), False

@@ -68,6 +68,16 @@ class MultimodalTransformer(nn.Module):
     vocab_size: int
     max_seq_len: int
     mixer_type: str = "concat"
+    # Residual attention mixers (framework addition, OFF by default for
+    # reference parity): memory = query + CrossAttn(query, kv) instead of the
+    # reference's raw MHA output (model.py:706-726). The reference's mixers
+    # REPLACE the memory with a fresh random projection at init, which must
+    # relearn everything before the decoder sees signal — measured as a
+    # no-latch basin (flat loss ~3.4) at every scale tried, 60-200 epochs
+    # (reports/grid_r04_full.json, grid_r04_warm.json). With the residual,
+    # the memory starts as the query modality's (working) memory and the
+    # attention path only has to ADD the other modality's evidence.
+    mixer_residual: bool = False
     attn_window: int = -1
     encoder_dropout: float = 0.5
     decoder_dropout: float = 0.1
@@ -144,14 +154,21 @@ class MultimodalTransformer(nn.Module):
             x = jnp.concatenate([xi, xa], axis=1)
             v = jnp.concatenate([vi, va], axis=1) if (vi is not None and va is not None) else None
             return x, v
+        res = self.mixer_residual  # memory = query (+ attended other modality)
         if self.mixer_type == "attn_img":
-            return self.cross_attn(xa, xi, va, vi, deterministic), va
+            out = self.cross_attn(xa, xi, va, vi, deterministic)
+            return (xa + out if res else out), va
         if self.mixer_type == "attn_audio":
-            return self.cross_attn(xi, xa, vi, va, deterministic), vi
+            out = self.cross_attn(xi, xa, vi, va, deterministic)
+            return (xi + out if res else out), vi
         # attn_both — reference dataflow quirk preserved (model.py:723-725):
         # second pass attends to the attended audio.
         xa2 = self.cross_attn(xa, xi, va, vi, deterministic)
+        if res:
+            xa2 = xa + xa2
         xi2 = self.cross_attn(xi, xa2, vi, va, deterministic)
+        if res:
+            xi2 = xi + xi2
         x = jnp.concatenate([xi2, xa2], axis=1)
         v = jnp.concatenate([vi, va], axis=1) if (vi is not None and va is not None) else None
         return x, v

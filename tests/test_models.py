@@ -113,6 +113,41 @@ def test_multimodal_mixers(mixer):
         assert {"image_encoder", "audio_encoder", "decoder", "cross_attn"} <= set(params["params"].keys())
 
 
+@pytest.mark.parametrize("mixer,query_mod", [("attn_img", "audio"), ("attn_audio", "image")])
+def test_residual_mixer_is_query_passthrough_at_zero_attn(mixer, query_mod):
+    """mixer_residual=True: memory = query + CrossAttn(query, kv). With the
+    cross_attn params zeroed, the memory must equal the query modality's
+    unimodal memory exactly — the property that lets the mixer start from a
+    working (query-modality) system instead of the reference's fresh random
+    projection (the measured no-latch basin, STATUS r4)."""
+    m = MultimodalTransformer(vocab_size=V, max_seq_len=MAXLEN, mixer_type=mixer,
+                              mixer_residual=True)
+    xi = jnp.ones((B, 32, 48, 1))
+    xa = jnp.ones((B, 16, 24, 1))
+    xi_hw = jnp.asarray([[32, 48], [20, 30]], jnp.int32)
+    xa_hw = jnp.asarray([[16, 24], [16, 20]], jnp.int32)
+    y_in = jnp.asarray([[1, 5, 6, 0], [1, 7, 0, 0]], jnp.int32)
+    params = jax.jit(m.init)({"params": jax.random.PRNGKey(0)}, xi, xi_hw, xa, xa_hw, y_in)
+    params = jax.tree.map(lambda x: x, params)
+    params["params"]["cross_attn"] = jax.tree.map(jnp.zeros_like, params["params"]["cross_attn"])
+
+    def fwd(modality):
+        return m.apply(params, xi, xa, xi_hw, xa_hw, modality,
+                       method=MultimodalTransformer.encoder_forward)
+
+    mixed, _ = jax.jit(fwd, static_argnums=0)("both")
+    query_only, _ = jax.jit(fwd, static_argnums=0)(query_mod)
+    np.testing.assert_array_equal(np.asarray(mixed), np.asarray(query_only))
+
+    # and with nonzero attn params the mixed memory differs from passthrough
+    params2 = jax.jit(m.init)({"params": jax.random.PRNGKey(1)}, xi, xi_hw, xa, xa_hw, y_in)
+    mixed2 = m.apply(params2, xi, xa, xi_hw, xa_hw, "both",
+                     method=MultimodalTransformer.encoder_forward)[0]
+    q2 = m.apply(params2, xi, xa, xi_hw, xa_hw, query_mod,
+                 method=MultimodalTransformer.encoder_forward)[0]
+    assert not np.allclose(np.asarray(mixed2), np.asarray(q2))
+
+
 def test_modality_dispatch():
     m = MultimodalTransformer(vocab_size=V, max_seq_len=MAXLEN, mixer_type="concat")
     xi = jnp.ones((1, 32, 48, 1))

@@ -116,6 +116,8 @@ def main():
                         "pixel geometry — the vertical-resolution probe knob)")
     p.add_argument("--teacher_forcing_prob", type=float, default=0.2)
     p.add_argument("--input_modality", default="image", choices=["image", "audio", "both"])
+    p.add_argument("--mixer_residual", action="store_true",
+                   help="residual attention mixers (query + CrossAttn), framework addition")
     p.add_argument("--mixer_type", default=None,
                    choices=[None, "concat", "attn_img", "attn_audio", "attn_both"])
     p.add_argument("--smoke", action="store_true", help="tiny shapes, CPU-runnable plumbing check")
@@ -153,6 +155,8 @@ def main():
     ]
     if args.mixer_type:
         common += ["--mixer_type", args.mixer_type]
+        if args.mixer_residual:
+            common += ["--mixer_residual"]
     if not args.no_device_cache:
         common.append("--device_cache")
         if args.device_cache_u8:

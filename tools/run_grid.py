@@ -75,6 +75,9 @@ def main():
                    help="skip training any leg whose best checkpoint already exists "
                         "(e.g. an image leg pre-seeded from a prior convergence run "
                         "on the identical corpus)")
+    p.add_argument("--mixer_residual", action="store_true",
+                   help="residual attention mixers (query + CrossAttn) — framework "
+                        "addition; pair with --leg_suffix to keep rows distinct")
     p.add_argument("--warm_start_mixers", action="store_true",
                    help="initialize mixer legs' encoders+decoder from the trained "
                         "unimodal image/audio leg checkpoints (cross_attn stays fresh); "
@@ -165,6 +168,8 @@ def main():
             ]
             if mixer:
                 argv += ["--mixer_type", mixer]
+                if args.mixer_residual:
+                    argv += ["--mixer_residual"]
                 if args.warm_start_mixers:
                     img_ck, aud_ck = best_ckpt("image"), best_ckpt("audio")
                     if not (os.path.exists(img_ck) and os.path.exists(aud_ck)):
