@@ -68,15 +68,22 @@ class MultimodalTransformer(nn.Module):
     vocab_size: int
     max_seq_len: int
     mixer_type: str = "concat"
-    # Residual attention mixers (framework addition, OFF by default for
-    # reference parity): memory = query + CrossAttn(query, kv) instead of the
-    # reference's raw MHA output (model.py:706-726). The reference's mixers
-    # REPLACE the memory with a fresh random projection at init, which must
-    # relearn everything before the decoder sees signal — measured as a
-    # no-latch basin (flat loss ~3.4) at every scale tried, 60-200 epochs
-    # (reports/grid_r04_full.json, grid_r04_warm.json). With the residual,
-    # the memory starts as the query modality's (working) memory and the
-    # attention path only has to ADD the other modality's evidence.
+    # Gated-residual attention mixers (framework addition, OFF by default
+    # for reference parity): memory = query + tanh(gate) * CrossAttn(query,
+    # kv) with gate initialized to ZERO, instead of the reference's raw MHA
+    # output (model.py:706-726). The reference's mixers REPLACE the memory
+    # with a fresh random projection at init, which must relearn everything
+    # before the decoder sees signal — measured as a no-latch basin (flat
+    # loss ~3.4) at every scale tried, 60-200 epochs
+    # (reports/grid_r04_full.json, grid_r04_warm.json). An UNgated residual
+    # (query + raw fresh-init attention) was also measured in the same
+    # basin (flat 3.55, reports/grid_resid_small.json leg attn_img_resid):
+    # the fresh attention output perturbs the working query stream enough
+    # that the decoder ignores memory anyway. The zero-init tanh gate
+    # (Flamingo's xattn gating / ReZero) makes the mixed memory EXACTLY the
+    # query modality's memory at init — the model first becomes a working
+    # unimodal system, then opens the gate only where the other modality's
+    # evidence reduces loss.
     mixer_residual: bool = False
     attn_window: int = -1
     encoder_dropout: float = 0.5
@@ -117,6 +124,11 @@ class MultimodalTransformer(nn.Module):
         )
         if self.mixer_type != "concat":
             self.cross_attn = CrossAttention(name="cross_attn")
+            if self.mixer_residual:
+                # one zero-init gate per attention application: [0] is the
+                # first (only) CrossAttn call, [1] the second pass of
+                # attn_both; tanh(0)=0 => exact query passthrough at init
+                self.mix_gate = self.param("mix_gate", nn.initializers.zeros, (2,))
 
     def _pos_drop(self, x, deterministic):
         if deterministic or self.pos_dropout == 0.0:
@@ -154,21 +166,22 @@ class MultimodalTransformer(nn.Module):
             x = jnp.concatenate([xi, xa], axis=1)
             v = jnp.concatenate([vi, va], axis=1) if (vi is not None and va is not None) else None
             return x, v
-        res = self.mixer_residual  # memory = query (+ attended other modality)
+        res = self.mixer_residual  # memory = query + tanh(gate)*attended
+        g = jnp.tanh(self.mix_gate) if res else None
         if self.mixer_type == "attn_img":
             out = self.cross_attn(xa, xi, va, vi, deterministic)
-            return (xa + out if res else out), va
+            return (xa + g[0] * out if res else out), va
         if self.mixer_type == "attn_audio":
             out = self.cross_attn(xi, xa, vi, va, deterministic)
-            return (xi + out if res else out), vi
+            return (xi + g[0] * out if res else out), vi
         # attn_both — reference dataflow quirk preserved (model.py:723-725):
         # second pass attends to the attended audio.
         xa2 = self.cross_attn(xa, xi, va, vi, deterministic)
         if res:
-            xa2 = xa + xa2
+            xa2 = xa + g[0] * xa2
         xi2 = self.cross_attn(xi, xa2, vi, va, deterministic)
         if res:
-            xi2 = xi + xi2
+            xi2 = xi + g[1] * xi2
         x = jnp.concatenate([xi2, xa2], axis=1)
         v = jnp.concatenate([vi, va], axis=1) if (vi is not None and va is not None) else None
         return x, v

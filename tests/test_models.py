@@ -114,12 +114,14 @@ def test_multimodal_mixers(mixer):
 
 
 @pytest.mark.parametrize("mixer,query_mod", [("attn_img", "audio"), ("attn_audio", "image")])
-def test_residual_mixer_is_query_passthrough_at_zero_attn(mixer, query_mod):
-    """mixer_residual=True: memory = query + CrossAttn(query, kv). With the
-    cross_attn params zeroed, the memory must equal the query modality's
-    unimodal memory exactly — the property that lets the mixer start from a
-    working (query-modality) system instead of the reference's fresh random
-    projection (the measured no-latch basin, STATUS r4)."""
+def test_residual_mixer_is_query_passthrough_at_init(mixer, query_mod):
+    """mixer_residual=True: memory = query + tanh(gate)*CrossAttn(query, kv)
+    with gate init 0 — so at FRESH init (no parameter surgery) the memory
+    must equal the query modality's unimodal memory exactly, regardless of
+    what the fresh-random attention outputs. This is the property that lets
+    the mixer start as a working unimodal system instead of the reference's
+    fresh random projection (the measured no-latch basin, STATUS r4; the
+    UNgated residual was measured in the same basin)."""
     m = MultimodalTransformer(vocab_size=V, max_seq_len=MAXLEN, mixer_type=mixer,
                               mixer_residual=True)
     xi = jnp.ones((B, 32, 48, 1))
@@ -128,24 +130,22 @@ def test_residual_mixer_is_query_passthrough_at_zero_attn(mixer, query_mod):
     xa_hw = jnp.asarray([[16, 24], [16, 20]], jnp.int32)
     y_in = jnp.asarray([[1, 5, 6, 0], [1, 7, 0, 0]], jnp.int32)
     params = jax.jit(m.init)({"params": jax.random.PRNGKey(0)}, xi, xi_hw, xa, xa_hw, y_in)
-    params = jax.tree.map(lambda x: x, params)
-    params["params"]["cross_attn"] = jax.tree.map(jnp.zeros_like, params["params"]["cross_attn"])
+    assert "mix_gate" in params["params"]
 
-    def fwd(modality):
-        return m.apply(params, xi, xa, xi_hw, xa_hw, modality,
+    def fwd(p, modality):
+        return m.apply(p, xi, xa, xi_hw, xa_hw, modality,
                        method=MultimodalTransformer.encoder_forward)
 
-    mixed, _ = jax.jit(fwd, static_argnums=0)("both")
-    query_only, _ = jax.jit(fwd, static_argnums=0)(query_mod)
+    mixed, _ = jax.jit(fwd, static_argnums=1)(params, "both")
+    query_only, _ = jax.jit(fwd, static_argnums=1)(params, query_mod)
     np.testing.assert_array_equal(np.asarray(mixed), np.asarray(query_only))
 
-    # and with nonzero attn params the mixed memory differs from passthrough
-    params2 = jax.jit(m.init)({"params": jax.random.PRNGKey(1)}, xi, xi_hw, xa, xa_hw, y_in)
-    mixed2 = m.apply(params2, xi, xa, xi_hw, xa_hw, "both",
-                     method=MultimodalTransformer.encoder_forward)[0]
-    q2 = m.apply(params2, xi, xa, xi_hw, xa_hw, query_mod,
-                 method=MultimodalTransformer.encoder_forward)[0]
-    assert not np.allclose(np.asarray(mixed2), np.asarray(q2))
+    # with the gate opened, the attention path contributes: memory differs
+    params2 = jax.tree.map(lambda x: x, params)
+    params2["params"] = dict(params2["params"])
+    params2["params"]["mix_gate"] = jnp.full((2,), 1.0)
+    mixed2 = jax.jit(fwd, static_argnums=1)(params2, "both")[0]
+    assert not np.allclose(np.asarray(mixed2), np.asarray(query_only))
 
 
 def test_modality_dispatch():
