@@ -175,14 +175,27 @@ def main():
                     if not (os.path.exists(img_ck) and os.path.exists(aud_ck)):
                         raise SystemExit("--warm_start_mixers needs trained image+audio legs "
                                          f"({img_ck}, {aud_ck})")
-                    # the decoder donor matches the mixer's memory CONTENT:
-                    # attn_audio memories are audio values (at image query
-                    # positions), attn_img the reverse; concat/attn_both carry
-                    # both — the stronger image decoder donates.
+                    # the decoder donor matches the mixer's memory CONTENT
+                    # at init:
+                    # - plain reference mixers: the memory is the ATTENDED
+                    #   values — attn_audio memories are audio values (at
+                    #   image query positions), attn_img the reverse;
+                    #   concat/attn_both carry both (stronger image decoder
+                    #   donates).
+                    # - gated-residual mixers: tanh(0)=0 makes the init
+                    #   memory EXACTLY the QUERY modality's memory —
+                    #   attn_img starts as the audio-only system (donor
+                    #   audio), attn_audio as the image-only system (donor
+                    #   image). Getting this right is the whole point of the
+                    #   warm+gated combination: the warm decoder free-runs
+                    #   correctly from step 0 instead of on fresh-attn noise.
+                    if args.mixer_residual:
+                        donor = "audio" if mixer == "attn_img" else "image"
+                    else:
+                        donor = "audio" if mixer == "attn_audio" else "image"
                     argv += ["--init_image_checkpoint", img_ck,
                              "--init_audio_checkpoint", aud_ck,
-                             "--init_decoder_from",
-                             "audio" if mixer == "attn_audio" else "image"]
+                             "--init_decoder_from", donor]
             train.main(argv)
         traj = read_trajectory(os.path.join(args.workdir, "runs", name))
         best_val = min((r.get("val_sym-er", 1e9) for r in traj), default=None)
