@@ -46,7 +46,8 @@ PYEOF
 
 GRID="--workdir runs/grid_r05 --train_n 1024 --eval_n 128 --n_measures 30 \
   --measures_range 2 30 --render_style grand --audio_style bands --epochs 60 \
-  --learning_rate 3e-4 --clip_norm 1.0 --check_val_every_n_epoch 5 --reuse_existing"
+  --schedule_epochs 150 --learning_rate 3e-4 --clip_norm 1.0 \
+  --check_val_every_n_epoch 5 --reuse_existing"
 
 # A: golden legs
 python tools/run_grid.py $GRID --legs attn_img attn_audio \
@@ -57,20 +58,63 @@ python tools/run_grid.py $GRID --legs attn_img attn_audio \
 python tools/run_grid.py $GRID --legs concat --skip_fusion \
   --out reports/grid_r05_concat.json > /tmp/grid_B.log 2>&1
 
-# C: tones audio-only, 300 epochs (deficit attack needs this checkpoint)
+# C: tones audio-only (deficit attack needs this checkpoint; r4's best val
+# was ~ep40 of its 300-ep run — 100 epochs on the same-shape schedule is
+# enough, audio steps are cheap)
 python tools/run_grid.py --workdir runs/grid_r05_tones --train_n 1024 --eval_n 128 \
   --n_measures 30 --measures_range 2 30 --render_style grand --audio_style tones \
-  --epochs 300 --learning_rate 3e-4 --clip_norm 1.0 --check_val_every_n_epoch 10 \
-  --reuse_existing --legs audio --skip_fusion \
+  --epochs 100 --schedule_epochs 300 --learning_rate 3e-4 --clip_norm 1.0 \
+  --check_val_every_n_epoch 10 --reuse_existing --legs audio --skip_fusion \
   --out reports/grid_r05_tones_audio.json > /tmp/grid_C.log 2>&1
 
+# C2: tones-audio deficit measurements with the fresh checkpoint:
+# beam sweep (does full-sequence scoring recover ambiguity-class mode
+# mixing?) + the line-level error decomposition (VERDICT r4 #3)
+TONES_DATA="--ds_name synthetic --krn_encoding kern --use_distorted_images \
+  --cache_root runs/grid_r05_tones/grandstaff_cache --batch_size 8 \
+  --eval_batch_size 8 --num_workers 8 --input_modality audio \
+  --checkpoint_path runs/grid_r05_tones/weights/audio/best"
+TONES_CFG=$(python -c "import sys; sys.path.insert(0,'.'); from tools.run_convergence import synth_cfg; print(synth_cfg(1024,128,False,30,'grand',measures_range=[2,30],audio_style='tones'))")
+for BEAM in 1 4 8; do
+  python -m omr_a2s_multimodal_transformer_tpu.cli.test $TONES_DATA \
+    --synthetic_config "$TONES_CFG" --beam_size $BEAM --length_penalty 0.0 \
+    --run_dir runs/grid_r05_tones/runs/beam$BEAM \
+    --save_preds reports/preds_tones_audio_beam$BEAM.jsonl \
+    > /tmp/tones_beam$BEAM.log 2>&1
+done
+python tools/diagnose_audio_errors.py --workdir runs/grid_r05_tones \
+  --ckpt runs/grid_r05_tones/weights/audio/best --split test \
+  --out reports/diagnose_audio_errors_r05.json > /tmp/tones_diag.log 2>&1
+
+# I: reference-scale ingest (VERDICT r4 #5) — 25,691-sample corpus
+# (GRANDSTAFF train-split size) streamed through the grain loader at
+# production geometry, NO device cache; measures streaming samples/s.
+ING_CFG=$(python -c "import sys; sys.path.insert(0,'.'); from tools.run_convergence import synth_cfg; print(synth_cfg(25691,128,False,30,'grand',measures_range=[2,30],audio_style='bands'))")
+timeout 3600 python -m omr_a2s_multimodal_transformer_tpu.cli.train \
+  --ds_name synthetic --synthetic_config "$ING_CFG" --krn_encoding kern \
+  --use_distorted_images --cache_root runs/ingest_25k/grandstaff_cache \
+  --eval_batch_size 8 --keep_cache \
+  --input_modality image --attn_window 100 --batch_size 8 --num_workers 8 \
+  --loader_backend grain --teacher_forcing_prob 0.2 --learning_rate 3e-4 \
+  --warmup_steps 1600 --decay_steps 96000 --clip_norm 1.0 \
+  --encoder_dropout 0.5 --decoder_dropout 0.1 --pos_dropout 0.1 \
+  --epochs 2 --patience 1000000 --check_val_every_n_epoch 2 \
+  --weights_dir runs/ingest_25k/weights --run_dir runs/ingest_25k/runs \
+  --use_flash_cross > /tmp/ingest.log 2>&1
+
 # D: warm plain mixers (r4 claimed concat_warm 7.23 / attn warm ~355 on tones;
-# artifact was lost — re-measure on the bands corpus)
-python tools/run_grid.py $GRID --legs concat attn_img \
+# artifact was lost — re-measure on the bands corpus; 30 epochs shows both
+# behaviors: concat_warm latches immediately, attn_img_warm free-runs on
+# fresh-attn noise from step 0)
+python tools/run_grid.py $GRID --epochs 30 --legs concat attn_img \
   --warm_start_mixers --leg_suffix _warm --skip_fusion \
   --out reports/grid_r05_warm.json > /tmp/grid_D.log 2>&1
 
-# E: gated-residual from scratch
+# Z: validate the edited bench.py end-to-end on the chip (the driver runs
+# it at round end; a crash there zeroes the round's benchmark)
+timeout 2400 python bench.py > /tmp/bench_r05_check.log 2>&1
+
+# E (best-effort): gated-residual from scratch
 python tools/run_grid.py $GRID --legs attn_img \
   --mixer_residual --leg_suffix _gres --skip_fusion \
   --out reports/grid_r05_gres_scratch.json > /tmp/grid_E.log 2>&1

@@ -57,6 +57,15 @@ def main():
     p.add_argument("--audio_style", default="tones", choices=["tones", "bands"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--schedule_epochs", type=int, default=None,
+                   help="cosine decay horizon in epochs (default = --epochs). "
+                        "r4's production latch recipe decays over 150 epochs; "
+                        "training 60 epochs on a 60-epoch cosine halves the LR "
+                        "by ep30 and the cross-attention alignment latch "
+                        "(which needs sustained LR ~2-3e-4) never happens — "
+                        "measured r5: same corpus/recipe, 60-ep schedule stuck "
+                        "at val ~44 through ep40 where the 150-ep schedule "
+                        "latched by ep30.")
     p.add_argument("--check_val_every_n_epoch", type=int, default=10)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--warmup_epochs", type=int, default=5)
@@ -154,7 +163,7 @@ def main():
                 "--teacher_forcing_prob", str(args.teacher_forcing_prob),
                 "--learning_rate", str(args.learning_rate),
                 "--warmup_steps", str(args.warmup_epochs * steps_per_epoch),
-                "--decay_steps", str(args.epochs * steps_per_epoch),
+                "--decay_steps", str((args.schedule_epochs or args.epochs) * steps_per_epoch),
                 "--clip_norm", str(args.clip_norm),
                 "--encoder_dropout", str(args.encoder_dropout),
                 "--decoder_dropout", str(args.decoder_dropout),
