@@ -114,6 +114,18 @@ python tools/run_grid.py $GRID --epochs 30 --legs concat attn_img \
 # it at round end; a crash there zeroes the round's benchmark)
 timeout 2400 python bench.py > /tmp/bench_r05_check.log 2>&1
 
+# F: small-geometry control closure (VERDICT r4 weak #1): r4's
+# grid_resid_small image-only control sat at val ~2151 — same 60-epoch
+# schedule-vs-budget coupling as the production no-latch measured this
+# round. Re-run THAT control with the decay horizon fix; if it latches,
+# the r4 small-geometry "mixer basin" measurements are attributable to
+# the harness schedule, not the mixers.
+python tools/run_grid.py --workdir runs/grid_r05_small --train_n 512 --eval_n 128 \
+  --n_measures 10 --measures_range 1 4 --render_style grand --audio_style bands \
+  --epochs 60 --schedule_epochs 150 --learning_rate 3e-4 --clip_norm 1.0 \
+  --check_val_every_n_epoch 5 --reuse_existing --legs image --skip_fusion \
+  --out reports/grid_r05_small_control.json > /tmp/grid_F.log 2>&1
+
 # E (best-effort): gated-residual from scratch
 python tools/run_grid.py $GRID --legs attn_img \
   --mixer_residual --leg_suffix _gres --skip_fusion \
