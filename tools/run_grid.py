@@ -75,6 +75,10 @@ def main():
     p.add_argument("--decoder_dropout", type=float, default=0.1)
     p.add_argument("--pos_dropout", type=float, default=0.1)
     p.add_argument("--teacher_forcing_prob", type=float, default=0.2)
+    p.add_argument("--teacher_forcing_modality_prob", type=float, default=0.2,
+                   help="modality dropout for mixer legs (reference parity 0.2; "
+                        "0 trains the 'both' path only — isolates mixer dynamics "
+                        "from the unimodal-branch updates)")
     p.add_argument("--legs", nargs="+", default=["image", "audio", "concat", "attn_img"])
     p.add_argument("--alphas", nargs="+", type=float, default=[0.3, 0.5, 0.7])
     p.add_argument("--skip_fusion", action="store_true")
@@ -161,6 +165,7 @@ def main():
                 "--batch_size", str(args.batch),
                 "--num_workers", "8",
                 "--teacher_forcing_prob", str(args.teacher_forcing_prob),
+                "--teacher_forcing_modality_prob", str(args.teacher_forcing_modality_prob),
                 "--learning_rate", str(args.learning_rate),
                 "--warmup_steps", str(args.warmup_epochs * steps_per_epoch),
                 "--decay_steps", str((args.schedule_epochs or args.epochs) * steps_per_epoch),
