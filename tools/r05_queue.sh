@@ -49,6 +49,26 @@ GRID="--workdir runs/grid_r05 --train_n 1024 --eval_n 128 --n_measures 30 \
   --schedule_epochs 150 --learning_rate 3e-4 --clip_norm 1.0 \
   --check_val_every_n_epoch 5 --reuse_existing"
 
+# Gate: the warm legs and the fusion rows are meaningless if the image
+# control didn't latch (the alignment latch is stochastic in epoch count —
+# r4 saw ep30, other seeds latch later). If best val > 15, extend the leg
+# to 120 epochs via auto-resume (same 150-ep schedule) before anything
+# warm-starts from it.
+python - <<'GATE'
+import json, sys
+rows = [json.loads(l) for l in open('runs/grid_r05/runs/image/metrics.jsonl') if l.strip()]
+best = min((r.get('val_sym-er', 1e9) for r in rows), default=1e9)
+print('image-leg best val sym-er:', best, flush=True)
+sys.exit(0 if best < 15 else 1)
+GATE
+if [ $? -ne 0 ]; then
+  python tools/run_grid.py --workdir runs/grid_r05 --train_n 1024 --eval_n 128 \
+    --n_measures 30 --measures_range 2 30 --render_style grand --audio_style bands \
+    --epochs 120 --schedule_epochs 150 --learning_rate 3e-4 --clip_norm 1.0 \
+    --check_val_every_n_epoch 5 --legs image --skip_fusion \
+    --out reports/grid_r05_image_ext.json > /tmp/grid_ext.log 2>&1
+fi
+
 # A: golden legs
 python tools/run_grid.py $GRID --legs attn_img attn_audio \
   --mixer_residual --warm_start_mixers --leg_suffix _warm_gres --skip_fusion \
