@@ -44,10 +44,17 @@ PYEOF
   echo VERIFY_OK
 ) > /tmp/verify_tpu.log 2>&1
 
+# The r4 winning recipe (grid_r04_full.json config, varied2816 trajectory):
+# ZERO regularization + lr 3e-4 + clip 1.0. The reference-default dropouts
+# (0.5 encoder / 0.2 tf) stall train loss at ~2.2 and the cross-attention
+# alignment latch never happens — measured again this round at production
+# geometry (two runs flat at val ~44 through ep50) before re-finding the
+# r4 config. grid_resid_small's broken control was the same bug.
 GRID="--workdir runs/grid_r05 --train_n 1024 --eval_n 128 --n_measures 30 \
   --measures_range 2 30 --render_style grand --audio_style bands --epochs 60 \
   --schedule_epochs 150 --learning_rate 3e-4 --clip_norm 1.0 \
-  --check_val_every_n_epoch 5 --reuse_existing"
+  --encoder_dropout 0 --decoder_dropout 0 --pos_dropout 0 \
+  --teacher_forcing_prob 0 --check_val_every_n_epoch 5 --reuse_existing"
 
 # Gate: the warm legs and the fusion rows are meaningless if the image
 # control didn't latch (the alignment latch is stochastic in epoch count —
@@ -84,6 +91,7 @@ python tools/run_grid.py $GRID --legs concat --skip_fusion \
 python tools/run_grid.py --workdir runs/grid_r05_tones --train_n 1024 --eval_n 128 \
   --n_measures 30 --measures_range 2 30 --render_style grand --audio_style tones \
   --epochs 100 --schedule_epochs 300 --learning_rate 3e-4 --clip_norm 1.0 \
+  --encoder_dropout 0 --decoder_dropout 0 --pos_dropout 0 --teacher_forcing_prob 0 \
   --check_val_every_n_epoch 10 --reuse_existing --legs audio --skip_fusion \
   --out reports/grid_r05_tones_audio.json > /tmp/grid_C.log 2>&1
 
@@ -143,6 +151,7 @@ timeout 2400 python bench.py > /tmp/bench_r05_check.log 2>&1
 python tools/run_grid.py --workdir runs/grid_r05_small --train_n 512 --eval_n 128 \
   --n_measures 10 --measures_range 1 4 --render_style grand --audio_style bands \
   --epochs 60 --schedule_epochs 150 --learning_rate 3e-4 --clip_norm 1.0 \
+  --encoder_dropout 0 --decoder_dropout 0 --pos_dropout 0 --teacher_forcing_prob 0 \
   --check_val_every_n_epoch 5 --reuse_existing --legs image --skip_fusion \
   --out reports/grid_r05_small_control.json > /tmp/grid_F.log 2>&1
 
