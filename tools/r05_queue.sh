@@ -76,6 +76,29 @@ if [ $? -ne 0 ]; then
     --out reports/grid_r05_image_ext.json > /tmp/grid_ext.log 2>&1
 fi
 
+# Same gate for the audio control — the bands-audio latch took r4 an
+# unknown slice of a 300-epoch run; audio epochs are cheap (~17 s), so an
+# unlatched 60-epoch leg gets extended to 200 on the longer horizon.
+python - <<'GATE'
+import json, sys
+rows = [json.loads(l) for l in open('runs/grid_r05/runs/audio/metrics.jsonl') if l.strip()]
+best = min((r.get('val_sym-er', 1e9) for r in rows), default=1e9)
+print('audio-leg best val sym-er:', best, flush=True)
+sys.exit(0 if best < 15 else 1)
+GATE
+if [ $? -ne 0 ]; then
+  python tools/run_grid.py --workdir runs/grid_r05 --train_n 1024 --eval_n 128 \
+    --n_measures 30 --measures_range 2 30 --render_style grand --audio_style bands \
+    --epochs 200 --schedule_epochs 300 --learning_rate 3e-4 --clip_norm 1.0 \
+    --encoder_dropout 0 --decoder_dropout 0 --pos_dropout 0 --teacher_forcing_prob 0 \
+    --check_val_every_n_epoch 5 --legs audio --skip_fusion \
+    --out reports/grid_r05_audio_ext.json > /tmp/grid_audio_ext.log 2>&1
+  # refresh the unimodal tests + fusion table with the extended audio leg
+  python tools/run_grid.py $GRID --skip_training --legs image audio \
+    --alphas 0.1 0.3 0.5 0.7 0.9 \
+    --out reports/grid_r05_bands.json > /tmp/grid_fusion_refresh.log 2>&1
+fi
+
 # A: golden legs
 python tools/run_grid.py $GRID --legs attn_img attn_audio \
   --mixer_residual --warm_start_mixers --leg_suffix _warm_gres --skip_fusion \
