@@ -26,17 +26,7 @@ cd /root/repo
     --cache_root $W/cache --batch_size 3 --num_workers 1 \
     --input_modality image --checkpoint_path $W/weights/best --run_dir $W/t --no_bf16 \
     --save_preds $W/preds.jsonl && \
-  python - <<'PYEOF' && \
-import os
-import sys; sys.path.insert(0, ".")
-from omr_a2s_multimodal_transformer_tpu.data import sources
-src = sources.SyntheticSource(n=4, seed=3, n_measures=1, encoding="kern",
-                              img_height_range=(32, 33), img_width_range=(64, 96))
-os.makedirs("/tmp/verify_ws/imgs", exist_ok=True)
-for i in range(4):
-    src[i]["image"].save(f"/tmp/verify_ws/imgs/s{i}.png")
-print("imgs exported")
-PYEOF
+  python tools/export_verify_imgs.py && \
   timeout 600 python -m omr_a2s_multimodal_transformer_tpu.cli.transcribe \
     --checkpoint_path $W/weights/best --vocab_path $W/cache/vocabs/ar_w2i_kern.json \
     --inputs "$W/imgs/*.png" --out_dir $W/out --batch_size 2 && \
