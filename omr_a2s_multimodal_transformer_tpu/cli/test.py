@@ -20,6 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beam_size", type=int, default=1, help=">1: beam search instead of greedy")
     p.add_argument("--length_penalty", type=float, default=0.0,
                    help="GNMT length penalty for beam search (score / ((5+len)/6)^lp)")
+    p.add_argument("--save_preds", default="",
+                   help="write test-split (y_true, y_pred) token rows to this "
+                        ".jsonl for offline error diagnosis (tools/diagnose_*)")
     p.add_argument("--packed_stem", choices=["on", "off"], default=None,
                    help="override the checkpoint's lane-packed-stem setting (numerics-equivalent; "
                         "'on' speeds up encode on TPU for checkpoints trained before the flag existed)")
@@ -53,7 +56,7 @@ def main(argv=None) -> None:
         beam_size=args.beam_size, length_penalty=args.length_penalty,
     )
     trainer.restore(args.checkpoint_path)
-    metrics = trainer.test(dm)
+    metrics = trainer.test(dm, save_preds=args.save_preds or None)
     print({k: round(v, 4) for k, v in metrics.items()})
 
 

@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_checkpoint_path", required=True)
     p.add_argument("--audio_checkpoint_path", required=True)
     p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--save_preds", default="",
+                   help="write (y_true, y_pred) token rows to this .jsonl "
+                        "for offline error diagnosis (tools/diagnose_*)")
     return p
 
 
@@ -68,6 +71,12 @@ def main(argv=None) -> None:
         g_rows, _ = cut_at_eos(batch["y_out"], batch["y_out"], vocab.eos_id)
         Y.extend([[ytest_i2w[g] for g in row if g != 0] for row in g_rows])
 
+    if args.save_preds:
+        import json as _json
+        os.makedirs(os.path.dirname(args.save_preds) or ".", exist_ok=True)
+        with open(args.save_preds, "w") as f:
+            for g, p_row in zip(Y, YHAT):
+                f.write(_json.dumps({"y_true": g, "y_pred": p_row}) + "\n")
     metrics = compute_metrics(y_true=Y, y_pred=YHAT)
     logger = MetricsLogger(
         args.run_dir or os.path.join("runs", "weighted_fusion", args.ds_name),

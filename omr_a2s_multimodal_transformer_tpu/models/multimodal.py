@@ -125,10 +125,16 @@ class MultimodalTransformer(nn.Module):
         if self.mixer_type != "concat":
             self.cross_attn = CrossAttention(name="cross_attn")
             if self.mixer_residual:
-                # one zero-init gate per attention application: [0] is the
-                # first (only) CrossAttn call, [1] the second pass of
-                # attn_both; tanh(0)=0 => exact query passthrough at init
-                self.mix_gate = self.param("mix_gate", nn.initializers.zeros, (2,))
+                # one zero-init gate per attention application (attn_both
+                # makes two CrossAttn passes, the single-direction mixers
+                # one); tanh(0)=0 => exact query passthrough at init.
+                # NOTE: checkpoints saved with mixer_residual=True before
+                # this param existed (or with the old fixed (2,) shape)
+                # won't restore against a fresh target — acceptable: the
+                # flag is off by default and every prior residual run was a
+                # recorded negative result (ADVICE r4).
+                n_gates = 2 if self.mixer_type == "attn_both" else 1
+                self.mix_gate = self.param("mix_gate", nn.initializers.zeros, (n_gates,))
 
     def _pos_drop(self, x, deterministic):
         if deterministic or self.pos_dropout == 0.0:

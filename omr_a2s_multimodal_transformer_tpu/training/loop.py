@@ -9,6 +9,7 @@ state, batched KV-cached eval decode, optional (data, model) mesh sharding.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import time
@@ -384,11 +385,13 @@ class Trainer:
                 )
         return self._decode
 
-    def evaluate(self, loader, name: str = "val", gt_i2w: Optional[Dict[int, str]] = None) -> Dict[str, float]:
+    def evaluate(self, loader, name: str = "val", gt_i2w: Optional[Dict[int, str]] = None,
+                 save_preds: Optional[str] = None) -> Dict[str, float]:
         with self._mesh_ctx():
-            return self._evaluate(loader, name, gt_i2w)
+            return self._evaluate(loader, name, gt_i2w, save_preds)
 
-    def _evaluate(self, loader, name: str = "val", gt_i2w: Optional[Dict[int, str]] = None) -> Dict[str, float]:
+    def _evaluate(self, loader, name: str = "val", gt_i2w: Optional[Dict[int, str]] = None,
+                  save_preds: Optional[str] = None) -> Dict[str, float]:
         decode = self._get_decode()
         i2w = self.vocab.i2w
         gt_i2w = gt_i2w or (self.ytest_i2w if name == "test" and self.ytest_i2w else i2w)
@@ -415,11 +418,16 @@ class Trainer:
                 y_pred.append([i2w[i] for i in p_row])
                 y_true.append([gt_i2w[i] for i in g_row])
         metrics = compute_metrics(y_true, y_pred, compute_mv2h=self.compute_mv2h)
+        if save_preds:
+            os.makedirs(os.path.dirname(save_preds) or ".", exist_ok=True)
+            with open(save_preds, "w") as f:
+                for g, p in zip(y_true, y_pred):
+                    f.write(json.dumps({"y_true": g, "y_pred": p}) + "\n")
         return {f"{name}_{k}": v for k, v in metrics.items()}
 
-    def test(self, datamodule) -> Dict[str, float]:
+    def test(self, datamodule, save_preds: Optional[str] = None) -> Dict[str, float]:
         datamodule.setup("test")
-        metrics = self.evaluate(datamodule.test_dataloader(), name="test")
+        metrics = self.evaluate(datamodule.test_dataloader(), name="test", save_preds=save_preds)
         self.logger.log(metrics, step=int(self.state.step))
         return metrics
 

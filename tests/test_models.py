@@ -143,7 +143,7 @@ def test_residual_mixer_is_query_passthrough_at_init(mixer, query_mod):
     # with the gate opened, the attention path contributes: memory differs
     params2 = jax.tree.map(lambda x: x, params)
     params2["params"] = dict(params2["params"])
-    params2["params"]["mix_gate"] = jnp.full((2,), 1.0)
+    params2["params"]["mix_gate"] = jnp.full_like(params["params"]["mix_gate"], 1.0)
     mixed2 = jax.jit(fwd, static_argnums=1)(params2, "both")[0]
     assert not np.allclose(np.asarray(mixed2), np.asarray(query_only))
 
