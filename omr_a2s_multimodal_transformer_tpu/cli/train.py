@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--decay_steps", type=int, default=0)
+    p.add_argument("--train_only", default="",
+                   help="comma-separated top-level param groups to train; all "
+                        "others frozen (e.g. 'cross_attn,mix_gate' trains only "
+                        "the mixer on warm-started frozen unimodal parts)")
     p.add_argument("--clip_norm", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off, reference parity; the "
                         "post-LN decoder emits rare gradient spikes at lr >= 3e-4 that "
@@ -131,6 +135,7 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps,
         decay_steps=args.decay_steps,
         clip_norm=args.clip_norm,
+        train_only=tuple(s for s in args.train_only.split(",") if s) or None,
         teacher_forcing_prob=args.teacher_forcing_prob,
         teacher_forcing_modality_prob=args.teacher_forcing_modality_prob,
         bf16_compute=not args.no_bf16, multimodal=multimodal,

@@ -54,6 +54,7 @@ class Trainer:
         warmup_steps: int = 0,
         decay_steps: int = 0,
         clip_norm: float = 0.0,  # >0: global-norm gradient clipping (post-LN spike guard)
+        train_only=None,  # e.g. ("cross_attn", "mix_gate"): freeze all other param groups
         teacher_forcing_prob: float = 0.2,
         teacher_forcing_modality_prob: float = 0.2,
         bf16_compute: bool = True,
@@ -94,7 +95,7 @@ class Trainer:
             run_dir, use_wandb=use_wandb, wandb_group=wandb_group, wandb_name=wandb_name, config=hparams
         )
         self.tx = adam(learning_rate, warmup_steps=warmup_steps, decay_steps=decay_steps,
-                       clip_norm=clip_norm)
+                       clip_norm=clip_norm, train_only=train_only)
         self.train_step = make_train_step(
             model, vocab_size=len(vocab),
             teacher_forcing_prob=teacher_forcing_prob,

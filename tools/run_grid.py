@@ -91,6 +91,12 @@ def main():
     p.add_argument("--mixer_residual", action="store_true",
                    help="residual attention mixers (query + CrossAttn) — framework "
                         "addition; pair with --leg_suffix to keep rows distinct")
+    p.add_argument("--mixer_train_only", default="",
+                   help="freeze all but these top-level param groups in mixer "
+                        "legs (e.g. 'cross_attn,mix_gate'; pair with "
+                        "--warm_start_mixers: the full fine-tune at mixer LRs "
+                        "destroys a strong donor — measured 0.2 -> 21.6 val in "
+                        "5 epochs)")
     p.add_argument("--warm_start_mixers", action="store_true",
                    help="initialize mixer legs' encoders+decoder from the trained "
                         "unimodal image/audio leg checkpoints (cross_attn stays fresh); "
@@ -184,6 +190,8 @@ def main():
                 argv += ["--mixer_type", mixer]
                 if args.mixer_residual:
                     argv += ["--mixer_residual"]
+                if args.mixer_train_only:
+                    argv += ["--train_only", args.mixer_train_only]
                 if args.warm_start_mixers:
                     img_ck, aud_ck = best_ckpt("image"), best_ckpt("audio")
                     if not (os.path.exists(img_ck) and os.path.exists(aud_ck)):
