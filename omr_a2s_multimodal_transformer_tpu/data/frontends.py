@@ -26,12 +26,30 @@ AUDIO_HEIGHT = NUM_FREQ_BINS = 195
 _CACHE_DIR = os.environ.get("OMR_A2S_CACHE_DIR", "./joblib_cache")
 
 try:  # joblib is optional; without it frontends are uncached.
+    import functools
+
     import joblib
 
     MEMORY = joblib.memory.Memory(_CACHE_DIR, mmap_mode="r", verbose=0)
 
     def _cached(fn):
-        return MEMORY.cache(fn)
+        cached_fn = MEMORY.cache(fn)
+
+        @functools.wraps(fn)
+        def robust(*args, **kwargs):
+            # joblib raises KeyError ("Non-existing item (may have been
+            # cleared)") when an entry's metadata exists but its payload is
+            # gone or mid-write — seen under concurrent multi-process
+            # loaders sharing one cache and after a disk-full interruption.
+            # A cache-read failure must degrade to a recompute, never crash
+            # the input pipeline.
+            try:
+                return cached_fn(*args, **kwargs)
+            except KeyError:
+                return fn(*args, **kwargs)
+
+        robust.cache_backend = cached_fn
+        return robust
 
 except Exception:  # pragma: no cover
     MEMORY = None

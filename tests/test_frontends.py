@@ -74,3 +74,33 @@ def test_preprocess_image_resize_and_scale():
 
 def test_num_freq_bins_is_195():
     assert S.NUM_FREQ_BINS == 195
+
+
+def test_cache_read_failure_degrades_to_recompute(tmp_path, monkeypatch):
+    """A joblib entry whose payload vanished (concurrent loader race /
+    disk-full interruption) must trigger a recompute, not crash the input
+    pipeline (KeyError 'Non-existing item')."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from omr_a2s_multimodal_transformer_tpu.data import frontends
+
+    if frontends.MEMORY is None:
+        return  # uncached environment: nothing to break
+
+    wave = np.sin(np.linspace(0, 100, 2205)).astype(np.float32)
+    first = frontends.preprocess_audio(wave, 22050.0)
+
+    # destroy THIS entry's stored payload (and only this entry's — the
+    # cache is shared state) while keeping its directory + metadata
+    backend = frontends.preprocess_audio.cache_backend
+    args_id = backend._get_args_id(wave, 22050.0)
+    out_pkl = os.path.join(frontends.MEMORY.store_backend.location,
+                           backend.func_id, args_id, "output.pkl")
+    assert os.path.exists(out_pkl), out_pkl
+    os.remove(out_pkl)
+
+    again = frontends.preprocess_audio(wave, 22050.0)
+    np.testing.assert_array_equal(np.asarray(first), np.asarray(again))
